@@ -1,0 +1,15 @@
+from hybrid_gmres_tpu.ops.linear_operator import (
+    LinearOperator,
+    DenseOperator,
+    AugmentedOperator,
+    ShiftedOperator,
+    as_operator,
+)
+
+__all__ = [
+    "LinearOperator",
+    "DenseOperator",
+    "AugmentedOperator",
+    "ShiftedOperator",
+    "as_operator",
+]

@@ -1,0 +1,17 @@
+from hybrid_gmres_tpu.reg.gcv import (
+    gcv_from_H,
+    gcv_curve,
+    gcv_surface,
+    gcv_lambda,
+    minimize_scalar_bounded,
+)
+from hybrid_gmres_tpu.reg.lcurve import lcurve_sweep
+
+__all__ = [
+    "gcv_from_H",
+    "gcv_curve",
+    "gcv_surface",
+    "gcv_lambda",
+    "minimize_scalar_bounded",
+    "lcurve_sweep",
+]

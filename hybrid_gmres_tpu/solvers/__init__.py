@@ -1,0 +1,18 @@
+from hybrid_gmres_tpu.solvers.common import GMRESResult, GKBResult
+from hybrid_gmres_tpu.solvers.gmres import ab_gmres, ba_gmres
+from hybrid_gmres_tpu.solvers.rtp import ab_gmres_rtp, ba_gmres_rtp
+from hybrid_gmres_tpu.solvers.lsqr import lsqr, hybrid_lsqr
+from hybrid_gmres_tpu.solvers.lsmr import lsmr, hybrid_lsmr
+
+__all__ = [
+    "GMRESResult",
+    "GKBResult",
+    "ab_gmres",
+    "ba_gmres",
+    "ab_gmres_rtp",
+    "ba_gmres_rtp",
+    "lsqr",
+    "hybrid_lsqr",
+    "lsmr",
+    "hybrid_lsmr",
+]

@@ -1,0 +1,137 @@
+"""Shared solver result pytrees and the generic GMRES scan core.
+
+All solvers share the reference's uniform result convention
+(``x, err_hist, res_hist, niters`` — e.g. ``ABgmres_hybrid_bounds.m:1-2``)
+but as fixed-shape pytrees: histories have static length ``maxit`` with NaN
+beyond ``niters`` instead of MATLAB's dynamic truncation, so results stack
+under ``vmap`` (lambda sweeps) and cross jit boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hybrid_gmres_tpu.krylov.arnoldi import arnoldi, arnoldi_step
+
+
+class GMRESResult(NamedTuple):
+    x: jax.Array          # final iterate (at iteration `niters`)
+    err_hist: jax.Array   # (maxit,) relative error per iteration, NaN beyond niters
+    res_hist: jax.Array   # (maxit,) relative residual per iteration
+    niters: jax.Array     # int32: last iteration entered (1-based)
+    Q: jax.Array          # (n_or_m, maxit+1) padded Krylov basis
+    H: jax.Array          # (maxit+1, maxit) padded Hessenberg
+    beta: jax.Array       # ||r0||
+
+
+class GKBResult(NamedTuple):
+    x: jax.Array
+    err_hist: jax.Array
+    res_hist: jax.Array
+    niters: jax.Array
+    ar_hist: Optional[jax.Array] = None  # LSMR only: ||A^T r|| history
+
+
+def _nan_like(x):
+    return jnp.full_like(x, jnp.nan)
+
+
+def mask_history(hist, niters):
+    """NaN out entries at 1-based iteration indices > niters."""
+    idx = jnp.arange(hist.shape[-1]) + 1
+    return jnp.where(idx <= niters, hist, jnp.nan)
+
+
+def gmres_core(
+    krylov_mv: Callable,
+    r0: jax.Array,
+    project_solve: Callable,  # (H, Q, t, kdim) -> padded y of length maxit
+    solution_fn: Callable,    # (Q, y) -> x
+    residual_fn: Callable,    # x -> relative residual
+    error_fn: Callable,       # x -> relative error (may return NaN)
+    maxit: int,
+    tol: float,
+    x_shape: int,
+    breakdown_tol: float = 0.0,
+    history: bool = True,
+) -> GMRESResult:
+    """Generic preconditioned-GMRES scan shared by AB/BA x {non,}hybrid x PTR/RTP.
+
+    Reference loop shape: Arnoldi expand -> projected solve -> residual/error
+    tracking -> early exit on ``res <= tol`` or breakdown
+    (``BAgmres_hybrid_bounds.m:24-80``).  Runs as one ``lax.scan`` with an
+    active mask; with ``history=False`` the per-iteration projected solves are
+    skipped and only the final solution is formed (benchmark mode).
+    """
+    dtype = r0.dtype
+    n = r0.shape[0]
+    beta = jnp.linalg.norm(r0)
+    t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
+
+    if not history:
+        Q, H, beta_, nsteps = arnoldi(krylov_mv, r0, maxit, breakdown_tol)
+        y = project_solve(H, Q, t, nsteps)
+        x = solution_fn(Q, y)
+        res = residual_fn(x)
+        err = error_fn(x)
+        res_hist = jnp.full((maxit,), jnp.nan, dtype=dtype).at[nsteps - 1].set(res)
+        err_hist = jnp.full((maxit,), jnp.nan, dtype=dtype).at[nsteps - 1].set(err)
+        return GMRESResult(x, err_hist, res_hist, nsteps, Q, H, beta_)
+
+    Q0 = jnp.zeros((n, maxit + 1), dtype=dtype).at[:, 0].set(r0 / beta)
+    H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
+    x0 = jnp.zeros((x_shape,), dtype=dtype)
+
+    def body(carry, k):
+        Q, H, x, active, niters = carry
+        st = arnoldi_step(krylov_mv, Q, H, k, breakdown_tol)
+        Qn = jax.lax.select(active, st.Q, Q)
+        Hn = jax.lax.select(active, st.H, H)
+        breakdown = st.breakdown
+        kdim = k + 1
+        y = project_solve(Hn, Qn, t, kdim)
+        xk = solution_fn(Qn, y)
+        res_k = residual_fn(xk)
+        err_k = error_fn(xk)
+        # Reference: breakdown breaks *before* the projected solve, so the
+        # breakdown iteration contributes no solution update or history entry
+        # (``ABgmres_nonhybrid_bounds.m:31``); we record NaN there.
+        adopt = active & ~breakdown
+        x = jax.lax.select(adopt, xk, x)
+        nan = jnp.asarray(jnp.nan, dtype)
+        res_rec = jnp.where(adopt, res_k, nan)
+        err_rec = jnp.where(adopt, err_k, nan)
+        niters = jnp.where(active, kdim, niters)
+        stop = breakdown | (res_k <= tol)
+        active = active & ~stop
+        return (Qn, Hn, x, active, niters), (res_rec, err_rec)
+
+    (Q, H, x, _, niters), (res_hist, err_hist) = jax.lax.scan(
+        body,
+        (Q0, H0, x0, jnp.bool_(True), jnp.int32(0)),
+        jnp.arange(maxit, dtype=jnp.int32),
+    )
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
+
+
+def rel_residual_fn(A_op, b):
+    bnorm = jnp.linalg.norm(b)
+
+    def f(x):
+        return jnp.linalg.norm(b - A_op.matvec(x)) / bnorm
+
+    return f
+
+
+def rel_error_fn(x_true):
+    if x_true is None:
+        return lambda x: jnp.asarray(jnp.nan, x.dtype)
+    xt_norm = jnp.linalg.norm(x_true)
+
+    def f(x):
+        return jnp.linalg.norm(x - x_true) / xt_norm
+
+    return f

@@ -1,0 +1,112 @@
+"""AB-GMRES and BA-GMRES, non-hybrid and hybrid (project-then-regularize).
+
+Reference semantics (rebuilt, not translated):
+  * AB-GMRES: Arnoldi on ``M = A B`` in m-space, projected LS
+    ``min ||beta e1 - Hbar y||``, back-map ``x = B (Q_k y)``
+    (``ABgmres_nonhybrid_bounds.m:24-37``).
+  * BA-GMRES: Arnoldi on ``M = B A`` in n-space with ``r0 = B b``,
+    ``x = Q_k y`` directly (``BAgmres_nonhybrid_bounds.m:12-36``).
+  * Hybrid (PTR): the same Arnoldi, but the projected problem is
+    Tikhonov-regularized ``y = (Hbar'Hbar + lam I)^{-1} Hbar' (beta e1)``
+    (``ABgmres_hybrid_bounds.m:34-38``, ``BAgmres_hybrid_bounds.m:34-37``).
+
+Pass ``lam=None`` for the non-hybrid variant, a scalar (traceable — vmap
+over lambda grids works) for the hybrid variant.  The O(n^3) filter-factor /
+perturbation-bound instrumentation fused into the reference solvers lives in
+``hybrid_gmres_tpu.analysis`` instead, consuming the returned (Q, H).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+
+from hybrid_gmres_tpu.ops.linear_operator import as_operator
+from hybrid_gmres_tpu.krylov.projected import (
+    projected_ls_solve,
+    projected_tikhonov_solve,
+)
+from hybrid_gmres_tpu.solvers.common import (
+    GMRESResult,
+    gmres_core,
+    rel_error_fn,
+    rel_residual_fn,
+)
+
+
+def _make_project_solve(lam):
+    if lam is None:
+        return lambda H, Q, t, kdim: projected_ls_solve(H, t, kdim)
+    return lambda H, Q, t, kdim: projected_tikhonov_solve(H, t, lam, kdim)
+
+
+def ab_gmres(
+    A,
+    B,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    maxit: int | None = None,
+    lam=None,
+    history: bool = True,
+    breakdown_tol: float = 0.0,
+) -> GMRESResult:
+    """AB-GMRES: Krylov space in m-space on ``M = A B``; ``x = B Q_k y``."""
+    A = as_operator(A)
+    B = as_operator(B)
+    if maxit is None:
+        maxit = min(A.shape)
+    maxit = int(maxit)
+
+    krylov_mv = lambda q: A.matvec(B.matvec(q))
+    solution_fn = lambda Q, y: B.matvec(Q[:, :maxit] @ y)
+    return gmres_core(
+        krylov_mv=krylov_mv,
+        r0=b,
+        project_solve=_make_project_solve(lam),
+        solution_fn=solution_fn,
+        residual_fn=rel_residual_fn(A, b),
+        error_fn=rel_error_fn(x_true),
+        maxit=maxit,
+        tol=tol,
+        x_shape=A.shape[1],
+        breakdown_tol=breakdown_tol,
+        history=history,
+    )
+
+
+def ba_gmres(
+    A,
+    B,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    maxit: int | None = None,
+    lam=None,
+    history: bool = True,
+    breakdown_tol: float = 0.0,
+) -> GMRESResult:
+    """BA-GMRES: Krylov space in n-space on ``M = B A`` with ``r0 = B b``."""
+    A = as_operator(A)
+    B = as_operator(B)
+    if maxit is None:
+        maxit = min(A.shape)
+    maxit = int(maxit)
+
+    krylov_mv = lambda q: B.matvec(A.matvec(q))
+    r0 = B.matvec(b)
+    solution_fn = lambda Q, y: Q[:, :maxit] @ y
+    return gmres_core(
+        krylov_mv=krylov_mv,
+        r0=r0,
+        project_solve=_make_project_solve(lam),
+        solution_fn=solution_fn,
+        residual_fn=rel_residual_fn(A, b),
+        error_fn=rel_error_fn(x_true),
+        maxit=maxit,
+        tol=tol,
+        x_shape=A.shape[1],
+        breakdown_tol=breakdown_tol,
+        history=history,
+    )

@@ -1,0 +1,227 @@
+"""LSMR and hybrid LSMR.
+
+Reference semantics (rebuilt):
+  * LSMR: GKB plus two layers of plane rotations, O(1) memory
+    (``lsmr_solver.m:32-77``); tracks the relative residual, the relative
+    error, and the normal-equation residual ``||A^T r||`` history
+    (``lsmr_solver.m:69-74``).
+  * Hybrid LSMR: GKB with a *stored* right basis V and bidiagonal B_k; every
+    iteration solves the Tikhonov-shifted projected LSMR normal equations
+    ``[(B_k'B_k)^2 + (alpha_{k+1} beta_{k+1})^2 e e' + lam I] y
+        = alpha_1 beta_1 (B_k'B_k) e_1``
+    and sets ``x = V_k y`` (``hybrid_lsmr_solver.m:37-45``).
+
+Faithfulness note (SURVEY.md §2.3): the reference's rank-1 term uses
+``e_1 e_1^T`` where LSMR theory calls for ``e_k e_k^T``.  We default to the
+correct ``rank1_mode="last"`` — which makes hybrid LSMR *exactly* equivalent
+to hybrid BA-GMRES when ``B = A^T`` (the ``run_equivalence_plots.m:48-58``
+oracle) — and keep ``rank1_mode="first"`` for bug-compatible comparison.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hybrid_gmres_tpu.ops.linear_operator import as_operator
+from hybrid_gmres_tpu.krylov.projected import projected_gram_tikhonov_solve
+from hybrid_gmres_tpu.solvers.common import GKBResult, rel_error_fn
+
+
+def _safe_normalize(vec):
+    nrm = jnp.linalg.norm(vec)
+    ok = nrm > 0
+    safe = jnp.where(ok, nrm, jnp.ones((), vec.dtype))
+    return jnp.where(ok, vec / safe, jnp.zeros_like(vec)), nrm, ok
+
+
+def lsmr(
+    A,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    maxit: int | None = None,
+    fro_norm=None,
+) -> GKBResult:
+    """Standard LSMR (GKB + double QR recurrences)."""
+    A = as_operator(A)
+    if maxit is None:
+        maxit = min(A.shape)
+    maxit = int(maxit)
+    dtype = b.dtype
+    eps = jnp.finfo(dtype).eps
+    b_norm = jnp.linalg.norm(b)
+    if fro_norm is None:
+        mat = getattr(A, "mat", None)
+        fro_norm = jnp.linalg.norm(mat) if mat is not None else jnp.asarray(jnp.nan, dtype)
+
+    u, beta1, _ = _safe_normalize(b)
+    v, alpha1, _ = _safe_normalize(A.rmatvec(u))
+
+    error_fn = rel_error_fn(x_true)
+    n = A.shape[1]
+    x0 = jnp.zeros((n,), dtype=dtype)
+    h0 = v
+    hbar0 = jnp.zeros((n,), dtype=dtype)
+
+    def step(carry, k):
+        (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar, cbar, sbar,
+         active, niters) = carry
+
+        u_n, beta_k, ok_u = _safe_normalize(A.matvec(v) - alpha * u)
+        v_n, alpha_n, ok_v = _safe_normalize(A.rmatvec(u_n) - beta_k * v)
+
+        alphahat = alphabar
+        rhoold = rho
+        rho_n = jnp.hypot(alphahat, beta_k)
+        c = alphahat / rho_n
+        s = beta_k / rho_n
+
+        thetanew = s * alpha_n
+        alphabar_n = c * alpha_n
+
+        rhobarold = rhobar
+        thetabar = sbar * rho_n
+        rhobar_n = jnp.hypot(cbar * rho_n, thetanew)
+        cbar_n = (cbar * rho_n) / rhobar_n
+        sbar_n = thetanew / rhobar_n
+
+        zeta = cbar_n * zetabar
+        zetabar_n = -sbar_n * zetabar
+
+        # At k=1 thetabar = 0 so this reduces to hbar = h, matching the
+        # reference's explicit first-iteration branch (lsmr_solver.m:56-60).
+        hbar_n = h - (thetabar * rho_n) / (rhoold * rhobarold) * hbar
+        x_n = x + (zeta / (rho_n * rhobar_n)) * hbar_n
+        h_n = v_n - (thetanew / rho_n) * h
+
+        r = b - A.matvec(x_n)
+        r_norm = jnp.linalg.norm(r)
+        res_k = r_norm / (b_norm + eps)
+        ar_k = jnp.linalg.norm(A.rmatvec(r)) / (fro_norm * jnp.maximum(r_norm, eps))
+        err_k = error_fn(x_n)
+
+        adopt = active & ok_u & ok_v
+        nan = jnp.asarray(jnp.nan, dtype)
+        sel = lambda a, b_: jax.lax.select(adopt, a, b_)
+        x, u, v, h, hbar = sel(x_n, x), sel(u_n, u), sel(v_n, v), sel(h_n, h), sel(hbar_n, hbar)
+        w = jnp.where(adopt, 1.0, 0.0)  # scalar adoption mask
+        alpha = jnp.where(adopt, alpha_n, alpha)
+        zetabar = jnp.where(adopt, zetabar_n, zetabar)
+        alphabar = jnp.where(adopt, alphabar_n, alphabar)
+        rho = jnp.where(adopt, rho_n, rho)
+        rhobar = jnp.where(adopt, rhobar_n, rhobar)
+        cbar = jnp.where(adopt, cbar_n, cbar)
+        sbar = jnp.where(adopt, sbar_n, sbar)
+        res_rec = jnp.where(adopt, res_k, nan)
+        err_rec = jnp.where(adopt, err_k, nan)
+        ar_rec = jnp.where(adopt, ar_k, nan)
+        niters = jnp.where(adopt, k + 1, niters)
+        active = adopt & (res_k >= tol)
+        return (
+            (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar, cbar, sbar,
+             active, niters),
+            (res_rec, err_rec, ar_rec),
+        )
+
+    one = jnp.ones((), dtype)
+    carry0 = (
+        x0, u, v, h0, hbar0, alpha1, alpha1 * beta1, alpha1, one, one, one,
+        jnp.zeros((), dtype), jnp.bool_(True), jnp.int32(0),
+    )
+    (x, *_rest, niters), (res_hist, err_hist, ar_hist) = jax.lax.scan(
+        step, carry0, jnp.arange(maxit, dtype=jnp.int32)
+    )
+    return GKBResult(
+        x=x, err_hist=err_hist, res_hist=res_hist, niters=niters, ar_hist=ar_hist
+    )
+
+
+def hybrid_lsmr(
+    A,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    maxit: int | None = None,
+    lam: float = 1e-3,
+    rank1_mode: str = "last",
+) -> GKBResult:
+    """Hybrid LSMR: stored-basis GKB + per-iteration shifted projected solve."""
+    if rank1_mode not in ("last", "first"):
+        raise ValueError("rank1_mode must be 'last' (textbook) or 'first' (reference-compat)")
+    A = as_operator(A)
+    if maxit is None:
+        maxit = min(A.shape)
+    maxit = int(maxit)
+    dtype = b.dtype
+    n = A.shape[1]
+    b_norm = jnp.linalg.norm(b)
+    error_fn = rel_error_fn(x_true)
+
+    u, beta1, _ = _safe_normalize(b)
+    v, alpha1, _ = _safe_normalize(A.rmatvec(u))
+    V0 = jnp.zeros((n, maxit), dtype=dtype).at[:, 0].set(v)
+    Bmat0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
+    x0 = jnp.zeros((n,), dtype=dtype)
+
+    def step(carry, k):
+        x, u, v, V, Bmat, alpha, active, niters = carry
+        kdim = k + 1
+
+        Bmat_n = Bmat.at[k, k].set(alpha)
+        u_n, beta_k, ok_u = _safe_normalize(A.matvec(v) - alpha * u)
+        Bmat_n = Bmat_n.at[k + 1, k].set(beta_k)
+
+        # Only advance the right basis while another column is needed; the
+        # final iteration reuses the stale alpha, as the reference does
+        # (hybrid_lsmr_solver.m:26-33).
+        def advance(_):
+            v2, alpha2, ok2 = _safe_normalize(A.rmatvec(u_n) - beta_k * v)
+            return v2, alpha2, ok2
+
+        def hold(_):
+            return v, alpha, jnp.bool_(True)
+
+        v_n, alpha_n, ok_v = jax.lax.cond(k < maxit - 1, advance, hold, None)
+        V_n = jax.lax.cond(
+            k < maxit - 1,
+            lambda _: V.at[:, jnp.minimum(k + 1, maxit - 1)].set(v_n),
+            lambda _: V,
+            None,
+        )
+
+        BtB = Bmat_n.T @ Bmat_n  # zero outside the kdim x kdim block
+        G = BtB @ BtB
+        coef = (alpha_n * beta_k) ** 2
+        if rank1_mode == "last":
+            e_idx = kdim - 1
+        else:
+            e_idx = jnp.zeros((), jnp.int32)
+        e_vec = jax.nn.one_hot(e_idx, maxit, dtype=dtype)
+        G = G + coef * jnp.outer(e_vec, e_vec)
+        rhs = alpha1 * beta1 * BtB[:, 0]
+        y = projected_gram_tikhonov_solve(G, rhs, lam, kdim)
+        x_n = V_n @ y
+
+        res_k = jnp.linalg.norm(b - A.matvec(x_n)) / b_norm
+        err_k = error_fn(x_n)
+
+        adopt = active & ok_u & ok_v
+        nan = jnp.asarray(jnp.nan, dtype)
+        x = jax.lax.select(adopt, x_n, x)
+        u = jax.lax.select(adopt, u_n, u)
+        v = jax.lax.select(adopt, v_n, v)
+        V = jax.lax.select(adopt, V_n, V)
+        Bmat = jax.lax.select(adopt, Bmat_n, Bmat)
+        alpha = jnp.where(adopt, alpha_n, alpha)
+        res_rec = jnp.where(adopt, res_k, nan)
+        err_rec = jnp.where(adopt, err_k, nan)
+        niters = jnp.where(adopt, kdim, niters)
+        active = adopt & (res_k > tol)
+        return (x, u, v, V, Bmat, alpha, active, niters), (res_rec, err_rec)
+
+    carry0 = (x0, u, v, V0, Bmat0, alpha1, jnp.bool_(True), jnp.int32(0))
+    (x, *_rest, niters), (res_hist, err_hist) = jax.lax.scan(
+        step, carry0, jnp.arange(maxit, dtype=jnp.int32)
+    )
+    return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist, niters=niters)

@@ -1,0 +1,166 @@
+"""LSQR and hybrid LSQR (Golub–Kahan bidiagonalization + Givens recurrences).
+
+Reference semantics (rebuilt):
+  * LSQR: O(1)-memory GKB with a single Givens recurrence
+    (``lsqr_solver.m:20-47``).  The per-iteration residual history uses the
+    cheap estimate ``|phi_bar| / ||b||`` and the final entry is patched with
+    the true residual at exit (``lsqr_solver.m:44,52``).
+  * Hybrid LSQR: plain LSQR on the Tikhonov-augmented system
+    ``[A; sqrt(lam) I] x ~= [b; 0]`` (``hybrid_lsqr_solver.m:5-6``), with the
+    residual tracked every iteration against the *unaugmented* system
+    (``hybrid_lsqr_solver.m:43``).
+
+The GKB transpose-matvec goes through ``op.rmatvec`` so a mismatched
+back-projector can stand in for ``A^T`` (SURVEY.md "mismatched-adjoint
+plumbing"); the reference always uses the exact adjoint here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hybrid_gmres_tpu.ops.linear_operator import AugmentedOperator, as_operator
+from hybrid_gmres_tpu.solvers.common import GKBResult
+
+
+def _safe_normalize(vec):
+    nrm = jnp.linalg.norm(vec)
+    ok = nrm > 0
+    safe = jnp.where(ok, nrm, jnp.ones((), vec.dtype))
+    return jnp.where(ok, vec / safe, jnp.zeros_like(vec)), nrm, ok
+
+
+def _lsqr_core(
+    iter_op,
+    b_iter,
+    residual_fn,   # x -> true relative residual, or None for cheap estimate
+    error_fn,
+    b_norm_for_estimate,
+    maxit: int,
+    tol: float,
+):
+    dtype = b_iter.dtype
+    n = iter_op.shape[1]
+
+    u, beta, _ = _safe_normalize(b_iter)
+    v, alpha, _ = _safe_normalize(iter_op.rmatvec(u))
+    w = v
+    x0 = jnp.zeros((n,), dtype=dtype)
+
+    # The scan carries the GKB vectors (u, v, w) plus the Givens scalars.
+    def step(carry, k):
+        x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters = carry
+        uhat = iter_op.matvec(v) - alpha_c * u
+        u_n, beta_k, ok_u = _safe_normalize(uhat)
+        vhat = iter_op.rmatvec(u_n) - beta_k * v
+        v_n, alpha_n, ok_v = _safe_normalize(vhat)
+
+        rho = jnp.hypot(rho_bar, beta_k)
+        c = rho_bar / rho
+        s = beta_k / rho
+        theta = s * alpha_n
+        rho_bar_n = -c * alpha_n
+        phi = c * phi_bar
+        phi_bar_n = s * phi_bar
+
+        x_n = x + (phi / rho) * w
+        w_n = v_n - (theta / rho) * w
+
+        if residual_fn is None:
+            res_k = jnp.abs(phi_bar_n) / b_norm_for_estimate
+        else:
+            res_k = residual_fn(x_n)
+        err_k = error_fn(x_n)
+
+        ok = ok_u & ok_v
+        adopt = active & ok
+        nan = jnp.asarray(jnp.nan, dtype)
+        x = jax.lax.select(adopt, x_n, x)
+        u = jax.lax.select(adopt, u_n, u)
+        v = jax.lax.select(adopt, v_n, v)
+        w = jax.lax.select(adopt, w_n, w)
+        phi_bar = jnp.where(adopt, phi_bar_n, phi_bar)
+        rho_bar = jnp.where(adopt, rho_bar_n, rho_bar)
+        alpha_c = jnp.where(adopt, alpha_n, alpha_c)
+        res_rec = jnp.where(adopt, res_k, nan)
+        err_rec = jnp.where(adopt, err_k, nan)
+        niters = jnp.where(adopt, k + 1, niters)
+        active = adopt & (res_k > tol)
+        return (x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters), (res_rec, err_rec)
+
+    carry0 = (x0, u, v, w, beta, alpha, alpha, jnp.bool_(True), jnp.int32(0))
+    (x, *_rest, niters), (res_hist, err_hist) = _run(step, carry0, maxit)
+    return x, res_hist, err_hist, niters
+
+
+def _run(step, carry0, maxit):
+    (xf, u, v, w, pb, rb, al, act, niters), hists = jax.lax.scan(
+        step, carry0, jnp.arange(maxit, dtype=jnp.int32)
+    )
+    return (xf, u, v, w, pb, rb, al, act, niters), hists
+
+
+def lsqr(
+    A,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    maxit: int | None = None,
+) -> GKBResult:
+    """Standard LSQR with the reference's cheap residual estimate + final patch."""
+    A = as_operator(A)
+    if maxit is None:
+        maxit = min(A.shape)
+    maxit = int(maxit)
+    b_norm = jnp.linalg.norm(b)
+
+    from hybrid_gmres_tpu.solvers.common import rel_error_fn
+
+    x, res_hist, err_hist, niters = _lsqr_core(
+        iter_op=A,
+        b_iter=b,
+        residual_fn=None,
+        error_fn=rel_error_fn(x_true),
+        b_norm_for_estimate=b_norm,
+        maxit=maxit,
+        tol=tol,
+    )
+    # Patch the last recorded entry with the true residual (lsqr_solver.m:52).
+    true_res = jnp.linalg.norm(b - A.matvec(x)) / b_norm
+    res_hist = res_hist.at[niters - 1].set(true_res)
+    return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist, niters=niters)
+
+
+def hybrid_lsqr(
+    A,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    maxit: int | None = None,
+    lam: float = 1e-3,
+) -> GKBResult:
+    """LSQR on the augmented system [A; sqrt(lam) I], residual vs original A."""
+    A = as_operator(A)
+    if maxit is None:
+        maxit = min(A.shape)
+    maxit = int(maxit)
+    aug = AugmentedOperator(A, lam)
+    b_aug = aug.augment_rhs(b)
+    b_norm = jnp.linalg.norm(b)
+
+    from hybrid_gmres_tpu.solvers.common import rel_error_fn
+
+    def residual_fn(x):
+        return jnp.linalg.norm(b - A.matvec(x)) / b_norm
+
+    x, res_hist, err_hist, niters = _lsqr_core(
+        iter_op=aug,
+        b_iter=b_aug,
+        residual_fn=residual_fn,
+        error_fn=rel_error_fn(x_true),
+        b_norm_for_estimate=b_norm,
+        maxit=maxit,
+        tol=tol,
+    )
+    return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist, niters=niters)

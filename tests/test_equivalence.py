@@ -1,0 +1,136 @@
+"""The reference's central validation identities as automated oracles.
+
+``run_equivalence_plots.m`` (with ``B = A^T``, deriv2 n=32, 1% noise):
+  BA-GMRES  == LSMR          (final solutions coincide)
+  AB-GMRES  == LSQR
+  hybrid BA == hybrid LSMR   (with the textbook e_k e_k' rank-1 term)
+  hybrid AB != hybrid LSQR   (deliberate inequivalence)
+``run_ptr_rtp_comparison.m``: PTR != RTP error curves.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hybrid_gmres_tpu import (
+    ab_gmres,
+    ba_gmres,
+    ab_gmres_rtp,
+    ba_gmres_rtp,
+    lsqr,
+    lsmr,
+    hybrid_lsqr,
+    hybrid_lsmr,
+    generate_test_problem,
+)
+from hybrid_gmres_tpu.problems import add_noise
+
+
+@pytest.fixture(scope="module")
+def prob():
+    n = 32
+    A, b_exact, x_true = generate_test_problem("deriv2", n)
+    b_noise, _ = add_noise(b_exact, 1e-2, seed=0)
+    B = A.T
+    return A, B, b_noise, x_true
+
+
+TOL = 1e-6
+LAM = 1e-3
+
+
+def test_ba_gmres_equals_lsmr(prob):
+    """Same Krylov subspace + same minimization => same iterates.
+
+    Only the early iterations are compared tightly: LSMR's short Lanczos
+    recurrence loses orthogonality on the ill-conditioned deriv2 operator
+    around k=6 while CGS2-GMRES maintains it, so the computed iterates
+    legitimately diverge afterwards (the reference's overlay plots show the
+    same finite-precision effect).  test_equivalences_track_long covers many
+    iterations on a well-conditioned operator.
+    """
+    A, B, b, x_true = prob
+    r_ba = ba_gmres(A, B, b, x_true, tol=TOL, maxit=32)
+    r_lsmr = lsmr(A, b, x_true, tol=TOL, maxit=32)
+    np.testing.assert_allclose(
+        np.asarray(r_ba.err_hist)[:5],
+        np.asarray(r_lsmr.err_hist)[:5],
+        rtol=1e-8,
+    )
+
+
+def test_ab_gmres_equals_lsqr(prob):
+    A, B, b, x_true = prob
+    r_ab = ab_gmres(A, B, b, x_true, tol=TOL, maxit=32)
+    r_lsqr = lsqr(A, b, x_true, tol=TOL, maxit=32)
+    np.testing.assert_allclose(
+        np.asarray(r_ab.err_hist)[:5],
+        np.asarray(r_lsqr.err_hist)[:5],
+        rtol=1e-7,
+    )
+
+
+def test_equivalences_track_long_on_well_conditioned():
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.standard_normal((48, 32)) + 4.0 * np.eye(48, 32))
+    x_true = jnp.asarray(rng.standard_normal(32))
+    b = A @ x_true + 0.01 * jnp.asarray(rng.standard_normal(48))
+    r_ba = ba_gmres(A, A.T, b, x_true, tol=0.0, maxit=20)
+    r_lsmr = lsmr(A, b, x_true, tol=0.0, maxit=20)
+    np.testing.assert_allclose(
+        np.asarray(r_ba.err_hist), np.asarray(r_lsmr.err_hist), rtol=1e-9
+    )
+    r_ab = ab_gmres(A, A.T, b, x_true, tol=0.0, maxit=20)
+    r_lsqr = lsqr(A, b, x_true, tol=0.0, maxit=20)
+    np.testing.assert_allclose(
+        np.asarray(r_ab.err_hist), np.asarray(r_lsqr.err_hist), rtol=1e-9
+    )
+
+
+@pytest.mark.parametrize("lam", [LAM, 1e-6])
+def test_hybrid_ba_equals_hybrid_lsmr(prob, lam):
+    A, B, b, x_true = prob
+    r_hba = ba_gmres(A, B, b, x_true, tol=TOL, maxit=32, lam=lam)
+    r_hlsmr = hybrid_lsmr(A, b, x_true, tol=TOL, maxit=32, lam=lam, rank1_mode="last")
+    k = min(int(r_hba.niters), int(r_hlsmr.niters))
+    np.testing.assert_allclose(
+        np.asarray(r_hba.err_hist)[:k],
+        np.asarray(r_hlsmr.err_hist)[:k],
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_hba.x), np.asarray(r_hlsmr.x), rtol=1e-6, atol=1e-10
+    )
+
+
+def test_hybrid_ab_differs_from_hybrid_lsqr(prob):
+    A, B, b, x_true = prob
+    r_hab = ab_gmres(A, B, b, x_true, tol=TOL, maxit=32, lam=LAM)
+    r_hlsqr = hybrid_lsqr(A, b, x_true, tol=TOL, maxit=32, lam=LAM)
+    # Projected Tikhonov on A B is NOT exact Tikhonov: solutions must differ.
+    diff = float(jnp.linalg.norm(r_hab.x - r_hlsqr.x) / jnp.linalg.norm(r_hlsqr.x))
+    assert diff > 1e-6
+
+
+def test_ptr_differs_from_rtp(prob):
+    A, B, b, x_true = prob
+    r_ptr_ba = ba_gmres(A, B, b, x_true, tol=TOL, maxit=32, lam=LAM)
+    r_rtp_ba = ba_gmres_rtp(A, B, b, x_true, tol=TOL, maxit=32, lam=LAM)
+    k = min(int(r_ptr_ba.niters), int(r_rtp_ba.niters))
+    e1 = np.asarray(r_ptr_ba.err_hist)[:k]
+    e2 = np.asarray(r_rtp_ba.err_hist)[:k]
+    assert np.max(np.abs(e1 - e2) / np.abs(e2)) > 1e-4
+
+    r_ptr_ab = ab_gmres(A, B, b, x_true, tol=TOL, maxit=32, lam=LAM)
+    r_rtp_ab = ab_gmres_rtp(A, B, b, x_true, tol=TOL, maxit=32, lam=LAM)
+    k = min(int(r_ptr_ab.niters), int(r_rtp_ab.niters))
+    e1 = np.asarray(r_ptr_ab.err_hist)[:k]
+    e2 = np.asarray(r_rtp_ab.err_hist)[:k]
+    assert np.max(np.abs(e1 - e2) / np.abs(e2)) > 1e-4
+
+
+def test_hybrid_lsmr_reference_compat_mode_differs(prob):
+    A, B, b, x_true = prob
+    r_last = hybrid_lsmr(A, b, x_true, tol=TOL, maxit=32, lam=LAM, rank1_mode="last")
+    r_first = hybrid_lsmr(A, b, x_true, tol=TOL, maxit=32, lam=LAM, rank1_mode="first")
+    assert float(jnp.linalg.norm(r_last.x - r_first.x)) > 0.0

@@ -1,0 +1,68 @@
+import numpy as np
+import jax.numpy as jnp
+
+from hybrid_gmres_tpu import lsqr, lsmr, hybrid_lsqr, hybrid_lsmr
+
+
+def _well_conditioned(m=40, n=20, seed=1):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n)) + 3.0 * np.eye(m, n)
+    x = rng.standard_normal(n)
+    b = A @ x + 0.1 * rng.standard_normal(m)
+    return jnp.asarray(A), jnp.asarray(b), jnp.asarray(x)
+
+
+def test_lsqr_converges_to_least_squares():
+    A, b, _ = _well_conditioned()
+    r = lsqr(A, b, tol=1e-12, maxit=60)
+    x_ref, *_ = np.linalg.lstsq(np.asarray(A), np.asarray(b), rcond=None)
+    np.testing.assert_allclose(np.asarray(r.x), x_ref, rtol=1e-8, atol=1e-8)
+
+
+def test_lsmr_converges_to_least_squares():
+    A, b, _ = _well_conditioned()
+    r = lsmr(A, b, tol=1e-12, maxit=60)
+    x_ref, *_ = np.linalg.lstsq(np.asarray(A), np.asarray(b), rcond=None)
+    np.testing.assert_allclose(np.asarray(r.x), x_ref, rtol=1e-7, atol=1e-7)
+    assert r.ar_hist is not None
+    # the normal-equation residual must collapse at convergence
+    ar = np.asarray(r.ar_hist)
+    ar = ar[~np.isnan(ar)]
+    assert ar[-1] < 1e-8
+
+
+def test_hybrid_lsqr_is_exact_tikhonov():
+    A, b, _ = _well_conditioned()
+    lam = 1e-2
+    r = hybrid_lsqr(A, b, tol=1e-14, maxit=80, lam=lam)
+    A_np, b_np = np.asarray(A), np.asarray(b)
+    n = A_np.shape[1]
+    x_ref = np.linalg.solve(A_np.T @ A_np + lam * np.eye(n), A_np.T @ b_np)
+    np.testing.assert_allclose(np.asarray(r.x), x_ref, rtol=1e-8, atol=1e-8)
+
+
+def test_lsqr_residual_history_patched_true():
+    A, b, _ = _well_conditioned()
+    r = lsqr(A, b, tol=1e-12, maxit=30)
+    k = int(r.niters)
+    true_res = float(
+        jnp.linalg.norm(b - A @ r.x) / jnp.linalg.norm(b)
+    )
+    assert abs(float(r.res_hist[k - 1]) - true_res) < 1e-12
+
+
+def test_gkb_histories_nan_beyond_niters():
+    A, b, _ = _well_conditioned()
+    r = lsqr(A, b, tol=1e-10, maxit=60)
+    k = int(r.niters)
+    if k < 60:
+        assert np.all(np.isnan(np.asarray(r.res_hist)[k:]))
+        assert np.all(np.isnan(np.asarray(r.err_hist)))  # x_true=None => NaN
+
+
+def test_hybrid_lsmr_runs_and_regularizes():
+    A, b, _ = _well_conditioned()
+    r0 = lsmr(A, b, tol=1e-12, maxit=60)
+    r1 = hybrid_lsmr(A, b, tol=1e-12, maxit=20, lam=1e-1)
+    # heavy regularization shrinks the solution norm
+    assert float(jnp.linalg.norm(r1.x)) < float(jnp.linalg.norm(r0.x))

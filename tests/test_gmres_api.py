@@ -1,0 +1,75 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_gmres_tpu import ab_gmres, ba_gmres, generate_test_problem
+from hybrid_gmres_tpu.problems import add_noise
+
+
+@pytest.fixture(scope="module")
+def prob():
+    A, b_exact, x_true = generate_test_problem("shaw", 24)
+    b, _ = add_noise(b_exact, 1e-2, seed=0)
+    return A, A.T, b, x_true
+
+
+def test_histories_shapes_and_masking(prob):
+    A, B, b, x_true = prob
+    r = ba_gmres(A, B, b, x_true, tol=1e-6, maxit=20)
+    assert r.err_hist.shape == (20,)
+    assert r.res_hist.shape == (20,)
+    k = int(r.niters)
+    assert 1 <= k <= 20
+    assert np.all(np.isfinite(np.asarray(r.res_hist)[:k]))
+    if k < 20:
+        assert np.all(np.isnan(np.asarray(r.res_hist)[k:]))
+
+
+def test_early_exit_on_tol():
+    # Well-conditioned square system: GMRES converges fast, must early-exit.
+    rng = np.random.default_rng(0)
+    n = 24
+    A = jnp.asarray(np.eye(n) + 0.01 * rng.standard_normal((n, n)))
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = A @ x_true
+    r = ba_gmres(A, A.T, b, x_true, tol=1e-8, maxit=n)
+    assert int(r.niters) < n
+    assert float(r.res_hist[int(r.niters) - 1]) <= 1e-8
+
+
+def test_jit_and_vmap_over_lambda(prob):
+    A, B, b, x_true = prob
+    lam_grid = jnp.asarray(np.logspace(-6, -1, 8))
+
+    def final_err(lam):
+        r = ba_gmres(A, B, b, x_true, tol=1e-10, maxit=16, lam=lam)
+        return r.err_hist[r.niters - 1], r.x
+
+    errs, xs = jax.jit(jax.vmap(final_err))(lam_grid)
+    assert errs.shape == (8,)
+    assert xs.shape == (8, A.shape[1])
+    # must agree with per-lambda runs
+    for i in (0, 4, 7):
+        r = ba_gmres(A, B, b, x_true, tol=1e-10, maxit=16, lam=lam_grid[i])
+        np.testing.assert_allclose(
+            float(errs[i]), float(r.err_hist[int(r.niters) - 1]), rtol=1e-10
+        )
+
+
+def test_history_false_matches_final_solution(prob):
+    A, B, b, x_true = prob
+    r_full = ba_gmres(A, B, b, x_true, tol=0.0, maxit=16, lam=1e-3)
+    r_lite = ba_gmres(A, B, b, x_true, tol=0.0, maxit=16, lam=1e-3, history=False)
+    np.testing.assert_allclose(
+        np.asarray(r_full.x), np.asarray(r_lite.x), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_ab_gmres_mismatched_runs(prob):
+    A, _, b, x_true = prob
+    from hybrid_gmres_tpu.problems import perturb_backprojector
+
+    B_pert, _ = perturb_backprojector(A, 1e-4, seed=0)
+    r = ab_gmres(A, B_pert, b, x_true, tol=1e-6, maxit=16, lam=1e-3)
+    assert np.isfinite(float(r.err_hist[int(r.niters) - 1]))
