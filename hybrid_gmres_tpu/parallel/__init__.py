@@ -1,0 +1,15 @@
+from hybrid_gmres_tpu.parallel.mesh import make_mesh
+from hybrid_gmres_tpu.parallel.sharded import (
+    shard_problem,
+    sharded_ba_matvec,
+    sharded_ab_matvec,
+    ba_gmres_sharded,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_problem",
+    "sharded_ba_matvec",
+    "sharded_ab_matvec",
+    "ba_gmres_sharded",
+]
