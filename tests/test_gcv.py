@@ -1,0 +1,97 @@
+"""GCV selection oracles (SURVEY.md §4 oracle 5 + the gcv_function semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import hybrid_gmres_tpu as hg
+from hybrid_gmres_tpu.problems import add_noise, perturb_backprojector
+from hybrid_gmres_tpu.krylov.arnoldi import arnoldi
+from hybrid_gmres_tpu.reg import (
+    gcv_from_H,
+    gcv_curve,
+    gcv_surface,
+    gcv_lambda,
+    minimize_scalar_bounded,
+)
+from hybrid_gmres_tpu.reg.lcurve import lcurve_sweep
+
+
+@pytest.fixture(scope="module")
+def setup():
+    A, b_exact, x_true = hg.generate_test_problem("shaw", 32)
+    b, _ = add_noise(b_exact, 1e-2, seed=0)
+    B, _ = perturb_backprojector(A, 1e-4, seed=0)
+    return A, B, b, x_true
+
+
+def test_gcv_from_H_matches_numpy(setup):
+    A, B, b, x_true = setup
+    k = 10
+    M = np.asarray(B) @ np.asarray(A)
+    r0 = np.asarray(B @ b)
+    Q, H, beta, _ = arnoldi(lambda v: jnp.asarray(M) @ v, jnp.asarray(r0), k)
+    t = jnp.zeros((k + 1,)).at[0].set(beta)
+    lam = 1e-4
+    got = float(gcv_from_H(H, t, lam, trace_dim=32, kdim=k))
+
+    Hk = np.asarray(H)
+    tk = np.zeros(k + 1)
+    tk[0] = float(beta)
+    yk = np.linalg.solve(Hk.T @ Hk + lam * np.eye(k), Hk.T @ tk)
+    rss = np.linalg.norm(tk - Hk @ yk) ** 2
+    s = np.linalg.svd(Hk[:k, :k], compute_uv=False)
+    tr = np.sum(s**2 / (s**2 + lam))
+    want = rss / (32 - tr) ** 2
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_gcv_curve_vectorizes(setup):
+    A, B, b, x_true = setup
+    grid = jnp.asarray(np.logspace(-8, -1, 30))
+    vals = gcv_curve("ba", A, B, b, k_gcv=15, lam_grid=grid)
+    assert vals.shape == (30,)
+    assert bool(jnp.all(jnp.isfinite(vals)))
+    # single-value evaluation must agree with the vmapped grid
+    v0 = gcv_curve("ba", A, B, b, k_gcv=15, lam_grid=grid[:1])
+    np.testing.assert_allclose(float(v0[0]), float(vals[0]), rtol=1e-12)
+
+
+def test_gcv_surface_shape_and_path(setup):
+    A, B, b, x_true = setup
+    grid = np.logspace(-8, -1, 20)
+    surface, path = gcv_surface("ab", A, B, b, range(1, 11), grid)
+    assert surface.shape == (20, 10)
+    assert path.shape == (10,)
+    # path entries are grid members achieving the per-k min
+    s = np.asarray(surface)
+    for j in range(10):
+        np.testing.assert_allclose(float(path[j]), grid[np.argmin(s[:, j])])
+
+
+def test_minimize_scalar_bounded_quadratic():
+    x, fx = minimize_scalar_bounded(lambda x: (x - 0.3) ** 2 + 1.0, 0.0, 1.0)
+    assert abs(x - 0.3) < 1e-6
+    assert abs(fx - 1.0) < 1e-10
+
+
+def test_gcv_lambda_near_true_optimal(setup):
+    """Oracle 5: the GCV-selected lambda's final error is close to the best
+    achievable over the lambda sweep (the reference prints this comparison at
+    analyze_regularization.m:43,49)."""
+    A, B, b, x_true = setup
+    lam_ab, _ = gcv_lambda("ab", A, B, b, k_gcv=20)
+    sweep = lcurve_sweep("ab", A, B, b, x_true, np.logspace(-10, 0, 50), maxit=32)
+    r = hg.ab_gmres(A, B, b, x_true, tol=1e-6, maxit=32, lam=lam_ab)
+    err_gcv = float(r.err_hist[int(r.niters) - 1])
+    err_best = float(sweep.err_min)
+    assert err_gcv < 3.0 * err_best, (err_gcv, err_best, lam_ab)
+
+
+def test_gcv_lambda_within_bounds(setup):
+    A, B, b, x_true = setup
+    for typ in ("ab", "ba"):
+        lam, val = gcv_lambda(typ, A, B, b, k_gcv=20)
+        assert 1e-9 <= lam <= 1e-1
+        assert np.isfinite(val)
