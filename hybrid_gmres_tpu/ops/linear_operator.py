@@ -186,6 +186,37 @@ class ShiftedOperator(LinearOperator):
         return cls(*children)
 
 
+@jax.tree_util.register_pytree_node_class
+class ProductOperator(LinearOperator):
+    """``left @ right`` kept matrix-free (e.g. M = A B without forming the
+    m x m product the reference materializes at ``run_2D_phantom.m:120``)."""
+
+    def __init__(self, left, right):
+        self.left = left
+        self.right = right
+
+    @property
+    def shape(self):
+        return (self.left.shape[0], self.right.shape[1])
+
+    @property
+    def dtype(self):
+        return self.left.dtype
+
+    def matvec(self, v):
+        return self.left.matvec(self.right.matvec(v))
+
+    def rmatvec(self, u):
+        return self.right.rmatvec(self.left.rmatvec(u))
+
+    def tree_flatten(self):
+        return (self.left, self.right), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
 def as_operator(a) -> LinearOperator:
     """Coerce an array (or operator) to a LinearOperator."""
     if isinstance(a, LinearOperator):

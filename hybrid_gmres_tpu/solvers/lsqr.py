@@ -139,8 +139,15 @@ def hybrid_lsqr(
     tol: float = 1e-6,
     maxit: int | None = None,
     lam: float = 1e-3,
+    error_map=None,
 ) -> GKBResult:
-    """LSQR on the augmented system [A; sqrt(lam) I], residual vs original A."""
+    """LSQR on the augmented system [A; sqrt(lam) I], residual vs original A.
+
+    ``error_map`` (optional) maps the iterate before comparing against
+    ``x_true`` — used when the iterate lives in a different space than the
+    final solution (e.g. the AB-style composed solve where x = B z,
+    run_2D_phantom.m:150-163).
+    """
     A = as_operator(A)
     if maxit is None:
         maxit = min(A.shape)
@@ -154,11 +161,17 @@ def hybrid_lsqr(
     def residual_fn(x):
         return jnp.linalg.norm(b - A.matvec(x)) / b_norm
 
+    base_error_fn = rel_error_fn(x_true)
+    if error_map is None:
+        error_fn = base_error_fn
+    else:
+        error_fn = lambda z: base_error_fn(error_map(z))
+
     x, res_hist, err_hist, niters = _lsqr_core(
         iter_op=aug,
         b_iter=b_aug,
         residual_fn=residual_fn,
-        error_fn=rel_error_fn(x_true),
+        error_fn=error_fn,
         b_norm_for_estimate=b_norm,
         maxit=maxit,
         tol=tol,

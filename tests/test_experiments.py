@@ -1,0 +1,129 @@
+"""Integration tests: every experiment driver runs at reduced scale and
+produces sane, finite results (+ figures render)."""
+
+import numpy as np
+import pytest
+
+from hybrid_gmres_tpu.experiments import (
+    equivalence,
+    ptr_rtp,
+    regularization,
+    gcv_surface_exp,
+    error_surface,
+    filter_factors_exp,
+    perturbation_bounds,
+    noise_sweep,
+    mismatch_sweep,
+    phantom2d,
+)
+
+
+def test_equivalence_driver(tmp_path):
+    res = equivalence.run(equivalence.Config(n=16))
+    # the (==) pairs agree at early iterations
+    for a, b in (("ba_gmres", "lsmr"), ("ab_gmres", "lsqr")):
+        np.testing.assert_allclose(
+            res.err_hists[a][:4], res.err_hists[b][:4], rtol=1e-6
+        )
+    np.testing.assert_allclose(
+        res.solutions["hybrid_ba"], res.solutions["hybrid_lsmr"], rtol=1e-6
+    )
+    # the (!=) pair differs
+    assert (
+        np.linalg.norm(res.solutions["hybrid_ab"] - res.solutions["hybrid_lsqr"])
+        > 1e-8
+    )
+    paths = equivalence.figures(res, str(tmp_path))
+    assert all(p.endswith(".png") for p in paths)
+
+
+def test_ptr_rtp_driver(tmp_path):
+    res = ptr_rtp.run(ptr_rtp.Config(n=16))
+    for k, h in res.err_hists.items():
+        assert np.all(np.isfinite(h)), k
+    d = np.abs(res.err_hists["ba_ptr"][:10] - res.err_hists["ba_rtp"][:10])
+    assert d.max() > 1e-8
+    ptr_rtp.figures(res, str(tmp_path))
+
+
+def test_regularization_driver(tmp_path):
+    cfg = regularization.Config(n=16, n_lambda=20, maxit=16, k_gcv=10)
+    res = regularization.run(cfg)
+    for v in ("ab", "ba"):
+        assert np.all(np.isfinite(np.asarray(res.sweeps[v].err_norms)))
+        assert 1e-9 <= res.gcv_lambdas[v] <= 1e-1
+    regularization.figures(res, str(tmp_path))
+
+
+def test_gcv_surface_driver(tmp_path):
+    cfg = gcv_surface_exp.Config(n=16, n_lambda=15)
+    res = gcv_surface_exp.run(cfg)
+    assert res.surfaces["ab"].shape == (15, 16)
+    assert np.all(res.surfaces["ba"] > 0)
+    gcv_surface_exp.figures(res, str(tmp_path))
+
+
+def test_error_surface_driver(tmp_path):
+    cfg = error_surface.Config(n=16, n_lambda=12)
+    res = error_surface.run(cfg)
+    assert res.surfaces["ba"].shape == (12, 16)
+    k, lam, err = res.optima["ba"]
+    assert 1 <= k <= 16 and np.isfinite(err)
+    # optimum is the surface minimum
+    assert err == np.nanmin(res.surfaces["ba"])
+    error_surface.figures(res, str(tmp_path))
+
+
+def test_filter_factors_driver(tmp_path):
+    res = filter_factors_exp.run(filter_factors_exp.Config(n=16))
+    for name in ("ab", "ba", "hybrid_ab", "hybrid_ba"):
+        assert len(res.phi_theory[name]) >= 1
+        assert len(res.err_hists[name]) >= 1
+    filter_factors_exp.figures(res, str(tmp_path))
+
+
+def test_perturbation_bounds_driver(tmp_path):
+    res = perturbation_bounds.run(perturbation_bounds.Config(n=16))
+    for name in ("hybrid_ab", "hybrid_ba"):
+        assert res.actual[name].shape == res.bound[name].shape
+    perturbation_bounds.figures(res, str(tmp_path))
+
+
+def test_noise_sweep_driver(tmp_path):
+    cfg = noise_sweep.Config(n=16, n_levels=4, maxit=16, k_gcv=8)
+    res = noise_sweep.run(cfg)
+    for k, v in res.final_errors.items():
+        assert np.all(np.isfinite(v)), k
+    # hybrid no worse than non-hybrid at the highest noise level
+    assert (
+        res.final_errors["hybrid_ba"][-1]
+        <= res.final_errors["nonhybrid_ba"][-1] * 1.5
+    )
+    noise_sweep.figures(res, str(tmp_path))
+
+
+def test_mismatch_sweep_driver(tmp_path):
+    cfg = mismatch_sweep.Config(n=16, n_scales=4, maxit=16, k_gcv=8)
+    res = mismatch_sweep.run(cfg)
+    assert np.all(np.isfinite(res.final_errors["hybrid_ab"]))
+    assert np.all(np.isfinite(res.final_errors["hybrid_ba"]))
+    np.testing.assert_allclose(
+        res.mismatch_norms,
+        np.logspace(np.log10(cfg.c_lo), np.log10(cfg.c_hi), 4),
+        rtol=1e-10,
+    )
+    mismatch_sweep.figures(res, str(tmp_path))
+
+
+def test_phantom2d_driver(tmp_path):
+    cfg = phantom2d.Config(n=16, n_angles=24, n_det=24, maxit=20,
+                           n_mismatch_levels=2)
+    res = phantom2d.run(cfg)
+    for name, x in res.reconstructions.items():
+        assert x.shape == (256,), name
+        assert np.all(np.isfinite(x)), name
+    assert res.mismatch_errors is not None
+    for name, v in res.mismatch_errors.items():
+        assert np.all(np.isfinite(v)), name
+    paths = phantom2d.figures(res, str(tmp_path))
+    assert len(paths) == 4
