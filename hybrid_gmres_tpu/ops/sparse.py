@@ -1,0 +1,233 @@
+"""TPU-oriented sparse-matrix containers (ELL and block-ELL/BSR).
+
+Format-selection rationale (measured on the CT operator, v5e):
+  * XLA's element gather is ~50x slower than dense matmul on TPU, so
+    classic CSR/ELL gather SpMV cannot win — public Mosaic exposes no
+    irregular vector gather either (only same-shape 2D shuffles).
+  * Dense f32 matvec reaches ~680 GB/s (~83% of v5e HBM peak): the baseline
+    to beat is memory traffic, not FLOPs.
+  * Block-sparse (8 x 128 blocks) covers the CT band structure at ~49% of
+    dense traffic and needs only *dynamic 128-wide slices* of x (supported
+    in Mosaic via scalar-prefetched block-column indices) — no gathers.
+    bf16 block storage halves traffic again.
+
+So the accelerated path is block-ELL (padded BSR) via the Pallas kernel in
+``spmv_pallas.py``; ELL with jnp gather is kept as a portable reference
+implementation (fine on CPU, correctness oracle for the kernel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ELLMatrix:
+    """Padded row-major ELL: ``A[i, idx[i, j]] = vals[i, j]``."""
+
+    idx: jax.Array    # (rows, width) int32, padded entries point at col 0
+    vals: jax.Array   # (rows, width), padded entries are 0
+    shape: tuple
+
+    def matvec(self, x):
+        return jnp.sum(self.vals * x[self.idx], axis=1)
+
+    def tree_flatten(self):
+        return (self.idx, self.vals), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
+def ell_from_csr(csr, dtype=np.float32) -> ELLMatrix:
+    rows = csr.shape[0]
+    width = int(np.diff(csr.indptr).max()) if rows else 0
+    idx = np.zeros((rows, width), np.int32)
+    vals = np.zeros((rows, width), dtype)
+    # vectorized fill: position-within-row for every nnz
+    counts = np.diff(csr.indptr)
+    r = np.repeat(np.arange(rows), counts)
+    within = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], counts)
+    idx[r, within] = csr.indices
+    vals[r, within] = csr.data.astype(dtype)
+    return ELLMatrix(jnp.asarray(idx), jnp.asarray(vals), tuple(csr.shape))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BlockELLMatrix:
+    """Block-ELL (padded BSR): dense (BR x BC) blocks, per-block-row padded
+    list of block-column indices.  Padded slots have bcol = 0 and zero block
+    data, so unconditional accumulation is exact."""
+
+    blocks: jax.Array   # (nbr, maxb, BR, BC)
+    bcols: jax.Array    # (nbr, maxb) int32 (block-column index, padded: 0)
+    nblocks: jax.Array  # (nbr,) int32 (valid blocks per block-row)
+    shape: tuple        # logical (m, n) before padding
+
+    @property
+    def block_shape(self):
+        return self.blocks.shape[2], self.blocks.shape[3]
+
+    @property
+    def padded_shape(self):
+        nbr, maxb, br, bc = self.blocks.shape
+        return (nbr * br, self.bcols_cols * bc)
+
+    @property
+    def bcols_cols(self):
+        # number of block columns in the padded matrix
+        return -(-self.shape[1] // self.blocks.shape[3])
+
+    def matvec(self, x):
+        """Reference jnp implementation (used on CPU and as kernel oracle)."""
+        nbr, maxb, br, bc = self.blocks.shape
+        ncb = self.bcols_cols
+        n_pad = ncb * bc
+        x_pad = jnp.zeros((n_pad,), x.dtype).at[: self.shape[1]].set(x)
+        xg = x_pad.reshape(ncb, bc)[self.bcols]        # (nbr, maxb, bc)
+        y = jnp.einsum("rbij,rbj->ri", self.blocks, xg.astype(self.blocks.dtype))
+        return y.reshape(nbr * br)[: self.shape[0]].astype(x.dtype)
+
+    def tree_flatten(self):
+        return (self.blocks, self.bcols, self.nblocks), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BucketedBlockELL:
+    """Sliced block-ELL: block-rows sorted by block count and partitioned
+    into buckets, each padded only to its own max count — removes the ~2x
+    padding a single global maxb costs on the CT operator.
+
+    ``inv_perm[orig_block_row] = position in the sorted/concatenated order``.
+    """
+
+    buckets: tuple            # of (blocks (nbr_b, maxb_b, BR, BC), bcols (nbr_b, maxb_b))
+    inv_perm: jax.Array       # (nbr_total,) int32
+    shape: tuple              # logical (m, n)
+    ncb: int                  # number of block columns (padded)
+
+    @property
+    def block_shape(self):
+        return self.buckets[0][0].shape[2], self.buckets[0][0].shape[3]
+
+    @property
+    def nbytes(self):
+        return sum(int(b.size) * b.dtype.itemsize for b, _ in self.buckets)
+
+    def matvec(self, x):
+        """Reference jnp implementation (CPU path / kernel oracle)."""
+        br, bc = self.block_shape
+        n_pad = self.ncb * bc
+        acc_dtype = jnp.promote_types(jnp.float32, self.buckets[0][0].dtype)
+        x_pad = jnp.zeros((n_pad,), acc_dtype).at[: self.shape[1]].set(
+            x.astype(acc_dtype)
+        )
+        xg2 = x_pad.reshape(self.ncb, bc)
+        ys = []
+        for blocks, bcols in self.buckets:
+            xg = xg2[bcols]  # (nbr_b, maxb_b, bc)
+            ys.append(jnp.einsum(
+                "rbij,rbj->ri", blocks.astype(acc_dtype), xg
+            ))
+        y_sorted = jnp.concatenate(ys, axis=0)       # (nbr_total, br)
+        y_rows = y_sorted[self.inv_perm]             # back to original order
+        return y_rows.reshape(-1)[: self.shape[0]].astype(x.dtype)
+
+    def tree_flatten(self):
+        children = (tuple(self.buckets), self.inv_perm)
+        return children, (self.shape, self.ncb)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+
+def bucketed_block_ell_from_csr(csr, block=(8, 128), dtype=np.float32,
+                                n_buckets: int = 4,
+                                row_group: int = 8) -> BucketedBlockELL:
+    """Host conversion CSR -> sliced/bucketed block-ELL."""
+    import scipy.sparse as sp
+
+    br, bc = block
+    m, n = csr.shape
+    m_pad = -(-m // br) * br
+    n_pad = -(-n // bc) * bc
+    csr_pad = sp.csr_matrix((csr.data, csr.indices, csr.indptr), shape=(m, n))
+    csr_pad.resize((m_pad, n_pad))
+    bsr = csr_pad.tobsr(blocksize=block)
+    bsr.sort_indices()
+    nbr = m_pad // br
+    counts = np.diff(bsr.indptr)
+
+    order = np.argsort(-counts, kind="stable")  # descending block count
+    # equal-size buckets over the sorted order, each padded to row_group rows
+    bounds = np.linspace(0, nbr, n_buckets + 1).astype(int)
+    buckets = []
+    sorted_rows = []
+    for bi in range(n_buckets):
+        rows = order[bounds[bi]:bounds[bi + 1]]
+        if len(rows) == 0:
+            continue
+        nbr_b = -(-len(rows) // row_group) * row_group
+        maxb_b = max(int(counts[rows].max()), 1)
+        blocks = np.zeros((nbr_b, maxb_b, br, bc), dtype)
+        bcols = np.zeros((nbr_b, maxb_b), np.int32)
+        for k, r in enumerate(rows):
+            s, e = bsr.indptr[r], bsr.indptr[r + 1]
+            blocks[k, : e - s] = bsr.data[s:e].astype(dtype)
+            bcols[k, : e - s] = bsr.indices[s:e]
+        buckets.append((jnp.asarray(blocks), jnp.asarray(bcols)))
+        sorted_rows.append(np.concatenate(
+            [rows, np.full(nbr_b - len(rows), -1, dtype=np.int64)]
+        ))
+    sorted_rows = np.concatenate(sorted_rows)  # position -> orig row (-1 pad)
+    inv_perm = np.zeros(nbr, np.int32)
+    valid = sorted_rows >= 0
+    inv_perm[sorted_rows[valid]] = np.nonzero(valid)[0].astype(np.int32)
+    return BucketedBlockELL(
+        tuple(buckets), jnp.asarray(inv_perm), (m, n), n_pad // bc
+    )
+
+
+def block_ell_from_csr(csr, block=(8, 128), dtype=np.float32,
+                       row_group: int = 1) -> BlockELLMatrix:
+    """Convert CSR to padded block-ELL on host.
+
+    ``row_group``: pad the number of block-rows to this multiple (the Pallas
+    kernel processes groups of block-rows per grid step).
+    """
+    import scipy.sparse as sp
+
+    br, bc = block
+    m, n = csr.shape
+    m_pad = -(-m // (br * row_group)) * (br * row_group)
+    n_pad = -(-n // bc) * bc
+    csr_pad = sp.csr_matrix((csr.data, csr.indices, csr.indptr), shape=(m, n))
+    csr_pad.resize((m_pad, n_pad))
+    bsr = csr_pad.tobsr(blocksize=block)
+    bsr.sort_indices()
+    nbr = m_pad // br
+    counts = np.diff(bsr.indptr)
+    maxb = int(counts.max()) if nbr else 0
+    blocks = np.zeros((nbr, maxb, br, bc), dtype)
+    bcols = np.zeros((nbr, maxb), np.int32)
+    r = np.repeat(np.arange(nbr), counts)
+    within = np.arange(bsr.indptr[-1]) - np.repeat(bsr.indptr[:-1], counts)
+    blocks[r, within] = bsr.data.astype(dtype)
+    bcols[r, within] = bsr.indices
+    return BlockELLMatrix(
+        jnp.asarray(blocks), jnp.asarray(bcols),
+        jnp.asarray(counts.astype(np.int32)), (m, n),
+    )

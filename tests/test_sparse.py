@@ -1,0 +1,100 @@
+"""Sparse formats + Pallas BSR kernel oracles (interpret mode on CPU)."""
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+import pytest
+
+from hybrid_gmres_tpu.ops.sparse import (
+    ell_from_csr,
+    block_ell_from_csr,
+    bucketed_block_ell_from_csr,
+)
+from hybrid_gmres_tpu.ops.spmv_pallas import PallasBSROperator
+
+
+@pytest.fixture(scope="module")
+def mats():
+    rng = np.random.default_rng(0)
+    A = sp.random(300, 260, density=0.05, format="csr", random_state=0,
+                  dtype=np.float64)
+    x = rng.standard_normal(260)
+    u = rng.standard_normal(300)
+    return A, x, u
+
+
+def test_ell_matvec(mats):
+    A, x, _ = mats
+    ell = ell_from_csr(A, dtype=np.float64)
+    np.testing.assert_allclose(
+        np.asarray(ell.matvec(jnp.asarray(x))), A @ x, rtol=1e-12
+    )
+
+
+def test_block_ell_matvec(mats):
+    A, x, _ = mats
+    bell = block_ell_from_csr(A, dtype=np.float64)
+    np.testing.assert_allclose(
+        np.asarray(bell.matvec(jnp.asarray(x))), A @ x, rtol=1e-10
+    )
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 4])
+def test_bucketed_block_ell_matvec(mats, n_buckets):
+    A, x, _ = mats
+    bell = bucketed_block_ell_from_csr(A, dtype=np.float64, n_buckets=n_buckets)
+    np.testing.assert_allclose(
+        np.asarray(bell.matvec(jnp.asarray(x))), A @ x, rtol=1e-10
+    )
+
+
+def test_bucketing_reduces_padding_on_ct_matrix():
+    """On the real CT fan structure (skewed block counts) bucketing must cut
+    the ELL padding (measured ~0.73x at n=32, ~0.55x at n=64)."""
+    from hybrid_gmres_tpu.problems.ct import ct_mismatched
+
+    prob = ct_mismatched(n=32, n_angles=60, n_det=48, dense=False)
+    b1 = bucketed_block_ell_from_csr(prob.A_csr, n_buckets=1)
+    b8 = bucketed_block_ell_from_csr(prob.A_csr, n_buckets=8)
+    assert b8.nbytes < 0.85 * b1.nbytes
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(prob.A_csr.shape[1])
+    np.testing.assert_allclose(
+        np.asarray(b8.matvec(jnp.asarray(x))), prob.A_csr @ x,
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_pallas_kernel_matches_csr(mats):
+    A, x, u = mats
+    op = PallasBSROperator.from_csr(A, interpret=True)
+    xf = jnp.asarray(x, dtype=jnp.float32)
+    uf = jnp.asarray(u, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(xf)), A @ x, rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.rmatvec(uf)), A.T @ u, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pallas_kernel_bf16(mats):
+    A, x, _ = mats
+    op = PallasBSROperator.from_csr(A, dtype=jnp.bfloat16, interpret=True,
+                                    with_adjoint=False)
+    y = np.asarray(op.matvec(jnp.asarray(x, dtype=jnp.float32)))
+    ref = A @ x
+    rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2  # bf16 storage error
+
+
+def test_pallas_operator_in_solver(mats):
+    """The kernel-backed operator must drop into the Krylov solvers."""
+    from hybrid_gmres_tpu import lsqr
+
+    A, x, _ = mats
+    b = jnp.asarray(A @ x, dtype=jnp.float32)
+    op = PallasBSROperator.from_csr(A, interpret=True)
+    r = lsqr(op, b, tol=1e-5, maxit=30)
+    res = float(jnp.linalg.norm(b - op.matvec(r.x)) / jnp.linalg.norm(b))
+    assert res < 0.5  # makes real progress through the kernel path
