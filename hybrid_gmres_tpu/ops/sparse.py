@@ -184,10 +184,17 @@ def bucketed_block_ell_from_csr(csr, block=(8, 128), dtype=np.float32,
         maxb_b = max(int(counts[rows].max()), 1)
         blocks = np.zeros((nbr_b, maxb_b, br, bc), dtype)
         bcols = np.zeros((nbr_b, maxb_b), np.int32)
-        for k, r in enumerate(rows):
-            s, e = bsr.indptr[r], bsr.indptr[r + 1]
-            blocks[k, : e - s] = bsr.data[s:e].astype(dtype)
-            bcols[k, : e - s] = bsr.indices[s:e]
+        # vectorized scatter of each row's block segment
+        lens = counts[rows]
+        total = int(lens.sum())
+        if total:
+            dest_r = np.repeat(np.arange(len(rows)), lens)
+            offs = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+            )
+            src = np.repeat(bsr.indptr[rows], lens) + offs
+            blocks[dest_r, offs] = bsr.data[src].astype(dtype)
+            bcols[dest_r, offs] = bsr.indices[src]
         buckets.append((jnp.asarray(blocks), jnp.asarray(bcols)))
         sorted_rows.append(np.concatenate(
             [rows, np.full(nbr_b - len(rows), -1, dtype=np.int64)]

@@ -195,19 +195,41 @@ def ct_mismatched(
     source_radius: float | None = None,
     dtype=None,
     dense: bool = True,
+    backend: str = "auto",
 ) -> CTProblem:
     """Fan-curved CT with mismatched (A, B), Shepp-Logan phantom, clean sinogram.
 
     B is globally rescaled so that the Rayleigh quotients of B A and A^T A
     agree on the phantom — keeping the spectra comparable while preserving
     the structural mismatch.
+
+    ``backend``: 'native' (C++ builder, ~20x faster assembly), 'numpy', or
+    'auto' (native if the toolchain is available, numpy otherwise).  Both
+    produce the same operators to floating-point tolerance.
     """
     if source_radius is None:
         source_radius = 2.0 * n
     geom = FanBeamGeometry(n=n, n_angles=n_angles, n_det=n_det,
                            source_radius=source_radius)
-    A_csr = build_fan_projector(geom)
-    B_csr = build_pixel_backprojector(geom)
+    if backend == "auto":
+        from hybrid_gmres_tpu.utils.native import native_available
+
+        backend = "native" if native_available() else "numpy"
+    if backend == "native":
+        from hybrid_gmres_tpu.utils.native import (
+            build_fan_projector_native,
+            build_pixel_backprojector_native,
+        )
+
+        A_csr = build_fan_projector_native(
+            n, n_angles, n_det, source_radius, geom.fan_margin, step=0.5
+        )
+        B_csr = build_pixel_backprojector_native(
+            n, n_angles, n_det, source_radius, geom.fan_margin
+        )
+    else:
+        A_csr = build_fan_projector(geom)
+        B_csr = build_pixel_backprojector(geom)
 
     x = shepp_logan(n).ravel()
     Ax = A_csr @ x
