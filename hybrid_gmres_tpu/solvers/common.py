@@ -57,6 +57,7 @@ def gmres_core(
     x_shape: int,
     breakdown_tol: float = 0.0,
     history: bool = True,
+    resume_from: "GMRESResult | None" = None,
 ) -> GMRESResult:
     """Generic preconditioned-GMRES scan shared by AB/BA x {non,}hybrid x PTR/RTP.
 
@@ -68,10 +69,12 @@ def gmres_core(
     """
     dtype = r0.dtype
     n = r0.shape[0]
-    beta = jnp.linalg.norm(r0)
-    t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
 
     if not history:
+        if resume_from is not None:
+            raise ValueError("resume_from requires history=True")
+        beta = jnp.linalg.norm(r0)
+        t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
         Q, H, beta_, nsteps = arnoldi(krylov_mv, r0, maxit, breakdown_tol)
         y = project_solve(H, Q, t, nsteps)
         x = solution_fn(Q, y)
@@ -81,9 +84,23 @@ def gmres_core(
         err_hist = jnp.full((maxit,), jnp.nan, dtype=dtype).at[nsteps - 1].set(err)
         return GMRESResult(x, err_hist, res_hist, nsteps, Q, H, beta_)
 
-    Q0 = jnp.zeros((n, maxit + 1), dtype=dtype).at[:, 0].set(r0 / beta)
-    H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
-    x0 = jnp.zeros((x_shape,), dtype=dtype)
+    if resume_from is not None:
+        # Continue the Arnoldi recurrence from a saved factorization
+        # (utils/checkpoint.py): identical numbers to an uninterrupted run.
+        from hybrid_gmres_tpu.utils.checkpoint import pad_state
+
+        rs = pad_state(resume_from, maxit)
+        k0 = int(resume_from.niters)
+        beta = rs.beta
+        Q0, H0, x0 = rs.Q, rs.H, rs.x
+        prior_res, prior_err = rs.res_hist, rs.err_hist
+    else:
+        k0 = 0
+        beta = jnp.linalg.norm(r0)
+        Q0 = jnp.zeros((n, maxit + 1), dtype=dtype).at[:, 0].set(r0 / beta)
+        H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
+        x0 = jnp.zeros((x_shape,), dtype=dtype)
+    t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
 
     def body(carry, k):
         Q, H, x, active, niters = carry
@@ -111,9 +128,12 @@ def gmres_core(
 
     (Q, H, x, _, niters), (res_hist, err_hist) = jax.lax.scan(
         body,
-        (Q0, H0, x0, jnp.bool_(True), jnp.int32(0)),
-        jnp.arange(maxit, dtype=jnp.int32),
+        (Q0, H0, x0, jnp.bool_(True), jnp.int32(k0)),
+        jnp.arange(k0, maxit, dtype=jnp.int32),
     )
+    if k0 > 0:
+        res_hist = jnp.concatenate([prior_res[:k0], res_hist])
+        err_hist = jnp.concatenate([prior_err[:k0], err_hist])
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 
 from hybrid_gmres_tpu.ops.linear_operator import as_operator
@@ -35,9 +36,38 @@ from hybrid_gmres_tpu.solvers.common import (
 )
 
 
-def _make_project_solve(lam):
+def _make_project_solve(lam, trace_dim, gcv_grid):
+    """Projected-solve strategy: None -> plain LS; scalar -> fixed-lambda
+    Tikhonov; "gcv" -> per-iteration GCV-optimal lambda over a grid.
+
+    The adaptive mode picks, at every iteration k, the lambda minimizing the
+    GCV functional of the CURRENT projected problem (the ``gcv_from_H``
+    objective vmapped over the grid) — the per-k optimal path the reference
+    only visualizes offline (``plot_gcv_surface.m:92-100``), available here
+    as a solver mode because the grid evaluation is a cheap batched device
+    computation inside the scan.
+    """
     if lam is None:
         return lambda H, Q, t, kdim: projected_ls_solve(H, t, kdim)
+    if isinstance(lam, str):
+        if lam != "gcv":
+            raise ValueError("lam must be None, a scalar, or 'gcv'")
+        from hybrid_gmres_tpu.reg.gcv import gcv_from_H
+
+        if gcv_grid is None:
+            import numpy as np
+
+            gcv_grid = np.logspace(-8, -1, 50)
+
+        def solve(H, Q, t, kdim):
+            grid = jnp.asarray(gcv_grid, dtype=H.dtype)
+            vals = jax.vmap(
+                lambda l: gcv_from_H(H, t, l, trace_dim, kdim)
+            )(grid)
+            lam_k = grid[jnp.argmin(vals)]
+            return projected_tikhonov_solve(H, t, lam_k, kdim)
+
+        return solve
     return lambda H, Q, t, kdim: projected_tikhonov_solve(H, t, lam, kdim)
 
 
@@ -51,8 +81,14 @@ def ab_gmres(
     lam=None,
     history: bool = True,
     breakdown_tol: float = 0.0,
+    gcv_grid=None,
+    resume_from: GMRESResult | None = None,
 ) -> GMRESResult:
-    """AB-GMRES: Krylov space in m-space on ``M = A B``; ``x = B Q_k y``."""
+    """AB-GMRES: Krylov space in m-space on ``M = A B``; ``x = B Q_k y``.
+
+    ``lam``: None (non-hybrid LS), scalar (hybrid PTR), or "gcv"
+    (per-iteration GCV-optimal lambda over ``gcv_grid``).
+    """
     A = as_operator(A)
     B = as_operator(B)
     if maxit is None:
@@ -64,7 +100,7 @@ def ab_gmres(
     return gmres_core(
         krylov_mv=krylov_mv,
         r0=b,
-        project_solve=_make_project_solve(lam),
+        project_solve=_make_project_solve(lam, A.shape[0], gcv_grid),
         solution_fn=solution_fn,
         residual_fn=rel_residual_fn(A, b),
         error_fn=rel_error_fn(x_true),
@@ -73,6 +109,7 @@ def ab_gmres(
         x_shape=A.shape[1],
         breakdown_tol=breakdown_tol,
         history=history,
+        resume_from=resume_from,
     )
 
 
@@ -86,8 +123,14 @@ def ba_gmres(
     lam=None,
     history: bool = True,
     breakdown_tol: float = 0.0,
+    gcv_grid=None,
+    resume_from: GMRESResult | None = None,
 ) -> GMRESResult:
-    """BA-GMRES: Krylov space in n-space on ``M = B A`` with ``r0 = B b``."""
+    """BA-GMRES: Krylov space in n-space on ``M = B A`` with ``r0 = B b``.
+
+    ``lam``: None (non-hybrid LS), scalar (hybrid PTR), or "gcv"
+    (per-iteration GCV-optimal lambda over ``gcv_grid``).
+    """
     A = as_operator(A)
     B = as_operator(B)
     if maxit is None:
@@ -100,7 +143,7 @@ def ba_gmres(
     return gmres_core(
         krylov_mv=krylov_mv,
         r0=r0,
-        project_solve=_make_project_solve(lam),
+        project_solve=_make_project_solve(lam, A.shape[1], gcv_grid),
         solution_fn=solution_fn,
         residual_fn=rel_residual_fn(A, b),
         error_fn=rel_error_fn(x_true),
@@ -109,4 +152,5 @@ def ba_gmres(
         x_shape=A.shape[1],
         breakdown_tol=breakdown_tol,
         history=history,
+        resume_from=resume_from,
     )

@@ -1,0 +1,79 @@
+"""Checkpoint/resume, adaptive-GCV solver mode, profiling helpers."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import hybrid_gmres_tpu as hg
+from hybrid_gmres_tpu.problems import add_noise, perturb_backprojector
+from hybrid_gmres_tpu.utils.checkpoint import save_state, load_state, pad_state
+from hybrid_gmres_tpu.utils.profiling import benchmark, spmv_throughput
+
+
+@pytest.fixture(scope="module")
+def prob():
+    A, b_exact, x_true = hg.generate_test_problem("shaw", 24)
+    b, _ = add_noise(b_exact, 1e-2, seed=0)
+    B, _ = perturb_backprojector(A, 1e-4, seed=0)
+    return A, B, b, x_true
+
+
+def test_resume_equals_uninterrupted(prob):
+    """Continuation matches a straight-through run.  Tolerance is 1e-8, not
+    bitwise: the partial run's padded basis is (n, 11) vs (n, 21), so the
+    CGS2 matmuls reduce in a different order (1e-12-level differences)."""
+    A, B, b, x_true = prob
+    full = hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=20, lam=1e-3)
+    part = hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=10, lam=1e-3)
+    cont = hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=20, lam=1e-3,
+                       resume_from=part)
+    np.testing.assert_allclose(np.asarray(cont.x), np.asarray(full.x),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cont.err_hist),
+                               np.asarray(full.err_hist), rtol=1e-8)
+    assert int(cont.niters) == int(full.niters)
+
+
+def test_resume_roundtrips_through_disk(prob, tmp_path):
+    A, B, b, x_true = prob
+    part = hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=8, lam=1e-3)
+    path = str(tmp_path / "state.npz")
+    save_state(path, part)
+    loaded = load_state(path)
+    cont = hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=16, lam=1e-3,
+                       resume_from=loaded)
+    full = hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=16, lam=1e-3)
+    np.testing.assert_allclose(np.asarray(cont.x), np.asarray(full.x),
+                               rtol=1e-10)
+
+
+def test_pad_state_rejects_shrink(prob):
+    A, B, b, x_true = prob
+    part = hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=8, lam=1e-3)
+    with pytest.raises(ValueError):
+        pad_state(part, 4)
+
+
+def test_gcv_adaptive_lambda_mode(prob):
+    A, B, b, x_true = prob
+    r = hg.ba_gmres(A, B, b, x_true, tol=1e-8, maxit=24, lam="gcv")
+    err = np.asarray(r.err_hist)[: int(r.niters)]
+    assert np.all(np.isfinite(err))
+    # the adaptive mode must not blow up like the non-hybrid run
+    r_non = hg.ba_gmres(A, B, b, x_true, tol=1e-8, maxit=24)
+    err_non = np.asarray(r_non.err_hist)[: int(r_non.niters)]
+    assert err[-1] < err_non[-1]
+
+
+def test_gcv_mode_invalid_string(prob):
+    A, B, b, x_true = prob
+    with pytest.raises(ValueError):
+        hg.ba_gmres(A, B, b, x_true, maxit=4, lam="banana")
+
+
+def test_benchmark_helper():
+    f = lambda x: jnp.sum(x * x)
+    out = benchmark(f, jnp.ones(128), iters=2)
+    assert out["best_s"] > 0
+    tp = spmv_throughput(1000, 0.001)
+    assert tp["nnz_per_s"] == 1e6
