@@ -5,6 +5,7 @@ from hybrid_gmres_tpu.parallel.sharded import (
     sharded_ab_matvec,
     ba_gmres_sharded,
 )
+from hybrid_gmres_tpu.parallel.sharded_full import ba_gmres_sharded_basis
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,5 @@ __all__ = [
     "sharded_ba_matvec",
     "sharded_ab_matvec",
     "ba_gmres_sharded",
+    "ba_gmres_sharded_basis",
 ]

@@ -1,0 +1,162 @@
+"""Fully-sharded BA-GMRES: the Krylov basis itself is partitioned.
+
+``ba_gmres_sharded`` (sharded.py) keeps the n-space basis replicated — fine
+when the image is small.  Here the basis is **row-sharded over the mesh**
+(the analog of sequence parallelism for Krylov bases, SURVEY.md §5): each
+device owns an (n/p, maxit+1) slice of Q, and per iteration the collectives
+are exactly:
+
+  * one all_gather of the n-vector x for the A-side matvec,
+  * one psum of the n-vector for the B-side product,
+  * one fused psum of all maxit+1 CGS2 coefficients per orthogonalization
+    pass (the reference's sequential MGS loop, ``BAgmres_hybrid_bounds.m:
+    26-29``, would need k round-trips), with the basis never leaving its
+    shard,
+  * scalar psums for norms/residuals.
+
+Operator placement matches ``shard_problem``: A row-partitioned over rays
+P(axis, None), B column-partitioned P(None, axis); additionally B's *rows*
+(image space) are sharded for the local basis update, handled here by
+slicing the replicated psum result.  The projected k x k solves are
+replicated compute on every device (tiny).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hybrid_gmres_tpu.krylov.projected import (
+    projected_ls_solve,
+    projected_tikhonov_solve,
+)
+from hybrid_gmres_tpu.solvers.common import GMRESResult
+
+
+def ba_gmres_sharded_basis(
+    A,
+    B,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    maxit: int = 50,
+    lam=None,
+    mesh: Mesh | None = None,
+    axis: str = "rows",
+) -> GMRESResult:
+    """BA-GMRES with a row-sharded Krylov basis over a 1-D mesh."""
+    if mesh is None:
+        from hybrid_gmres_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_name=axis)
+    maxit = int(maxit)
+    p = mesh.devices.size
+    m, n = A.shape
+    if n % p or m % p:
+        raise ValueError(f"m={m} and n={n} must divide the mesh size {p}")
+    dtype = b.dtype
+    have_xt = x_true is not None
+    if not have_xt:
+        x_true = jnp.zeros((n,), dtype=dtype)
+
+    def solver(A_loc, B_loc, b_loc, xt_loc):
+        # A_loc: (m/p, n); B_loc: (n, m/p); b_loc, y-space vectors: (m/p,)
+        nloc = n // p
+        my = jax.lax.axis_index(axis)
+
+        def pdot(u_loc, v_loc):
+            return jax.lax.psum(jnp.dot(u_loc, v_loc), axis)
+
+        def pnorm(u_loc):
+            return jnp.sqrt(pdot(u_loc, u_loc))
+
+        def my_slice(v_full):
+            return jax.lax.dynamic_slice(v_full, (my * nloc,), (nloc,))
+
+        def ba_mv_from_xfull(x_full):
+            """w_loc = (B A x)[my shard], one psum of the n-vector."""
+            y_loc = A_loc @ x_full
+            w_full = jax.lax.psum(B_loc @ y_loc, axis)
+            return my_slice(w_full)
+
+        b_norm = pnorm(b_loc)
+        xt_norm = pnorm(xt_loc)
+
+        r0_full = jax.lax.psum(B_loc @ b_loc, axis)
+        r0_loc = my_slice(r0_full)
+        beta = pnorm(r0_loc)
+        t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
+
+        Q0 = jnp.zeros((nloc, maxit + 1), dtype=dtype).at[:, 0].set(
+            r0_loc / beta
+        )
+        H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
+        x0 = jnp.zeros((nloc,), dtype=dtype)
+
+        if lam is None:
+            project_solve = lambda H, kdim: projected_ls_solve(H, t, kdim)
+        else:
+            project_solve = lambda H, kdim: projected_tikhonov_solve(
+                H, t, lam, kdim
+            )
+
+        def body(carry, k):
+            Q, H, x, active, niters = carry
+            q_loc = Q[:, k]
+            q_full = jax.lax.all_gather(q_loc, axis, tiled=True)
+            w_loc = ba_mv_from_xfull(q_full)
+            # CGS2: two passes, each ONE fused psum of all coefficients
+            c1 = jax.lax.psum(Q.T @ w_loc, axis)
+            w_loc = w_loc - Q @ c1
+            c2 = jax.lax.psum(Q.T @ w_loc, axis)
+            w_loc = w_loc - Q @ c2
+            h = c1 + c2
+            hnorm = pnorm(w_loc)
+            breakdown = hnorm <= jnp.zeros((), dtype)
+            hsafe = jnp.where(breakdown, jnp.ones((), dtype), hnorm)
+            h = h.at[k + 1].set(hnorm)
+            Hn = H.at[:, k].set(h)
+            Qn = Q.at[:, k + 1].set(
+                jnp.where(breakdown, jnp.zeros_like(w_loc), w_loc / hsafe)
+            )
+            Qn = jax.lax.select(active, Qn, Q)
+            Hn = jax.lax.select(active, Hn, H)
+
+            kdim = k + 1
+            y = project_solve(Hn, kdim)        # replicated k x k solve
+            xk_loc = Qn[:, :maxit] @ y
+            xk_full = jax.lax.all_gather(xk_loc, axis, tiled=True)
+            r_loc = b_loc - A_loc @ xk_full
+            res_k = jnp.sqrt(pdot(r_loc, r_loc)) / b_norm
+            d_loc = xk_loc - xt_loc
+            err_k = jnp.sqrt(pdot(d_loc, d_loc)) / xt_norm
+
+            adopt = active & ~breakdown
+            x = jax.lax.select(adopt, xk_loc, x)
+            nan = jnp.asarray(jnp.nan, dtype)
+            res_rec = jnp.where(adopt, res_k, nan)
+            err_rec = jnp.where(adopt, err_k, nan)
+            niters = jnp.where(active, kdim, niters)
+            stop = breakdown | (res_k <= tol)
+            active = active & ~stop
+            return (Qn, Hn, x, active, niters), (res_rec, err_rec)
+
+        (Q, H, x, _, niters), (res_hist, err_hist) = jax.lax.scan(
+            body,
+            (Q0, H0, x0, jnp.bool_(True), jnp.int32(0)),
+            jnp.arange(maxit, dtype=jnp.int32),
+        )
+        return x, err_hist, res_hist, niters, Q, H, beta
+
+    f = jax.shard_map(
+        solver,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(), P(), P(), P(axis, None), P(), P()),
+        check_vma=False,
+    )
+    x, err_hist, res_hist, niters, Q, H, beta = f(A, B, b, x_true)
+    if not have_xt:
+        err_hist = jnp.full_like(err_hist, jnp.nan)
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
