@@ -28,12 +28,18 @@ from hybrid_gmres_tpu.krylov.arnoldi import arnoldi
 from hybrid_gmres_tpu.krylov.projected import projected_tikhonov_solve
 
 
-def gcv_from_H(H, t, lam, trace_dim, kdim):
+def gcv_from_H(H, t, lam, trace_dim, kdim, weight=1.0):
     """GCV value from a padded Hessenberg factorization.
 
     ``H``: (kmax+1, kmax) padded (columns >= kdim zero); ``t``: (kmax+1,)
     padded ``beta e1``; ``trace_dim``: the N in the denominator (full problem
     dimension, reference convention).  Vectorize over ``lam`` with ``vmap``.
+
+    ``weight``: the weighted-GCV parameter omega (Chung/Nagy/O'Leary):
+    denominator ``(N - omega * trace)^2``.  The default 1.0 is plain GCV
+    (reference parity); omega < 1 counteracts GCV's tendency to
+    under-regularize on projected problems (it can hit the lower search
+    bound at high noise — a bias the reference shares).
     """
     kmax = H.shape[1]
     dtype = H.dtype
@@ -50,7 +56,8 @@ def gcv_from_H(H, t, lam, trace_dim, kdim):
     # is needed (matches svd(H(1:k,1:k)) at gcv_function.m:42).
     s = jnp.linalg.svd(H[:kmax, :kmax], compute_uv=False)
     trace_val = jnp.sum(s**2 / (s**2 + lam))
-    denominator = (jnp.asarray(trace_dim, dtype) - trace_val) ** 2
+    w = jnp.asarray(weight, dtype)
+    denominator = (jnp.asarray(trace_dim, dtype) - w * trace_val) ** 2
 
     gcv = residual_norm_sq / denominator
     bad = (
@@ -83,7 +90,7 @@ def _arnoldi_for(gcv_type, A, B, b, k_gcv, breakdown_tol=1e-12):
     return H, t, trace_dim, nsteps
 
 
-def gcv_curve(gcv_type, A, B, b, k_gcv, lam_grid):
+def gcv_curve(gcv_type, A, B, b, k_gcv, lam_grid, weight=1.0):
     """GCV(lam) over a grid at fixed Krylov dimension k_gcv (factor once + vmap).
 
     Note: like ``gcv_function.m:33`` the projected dimension stays k_gcv even
@@ -91,7 +98,7 @@ def gcv_curve(gcv_type, A, B, b, k_gcv, lam_grid):
     """
     H, t, trace_dim, _ = _arnoldi_for(gcv_type, A, B, b, k_gcv)
     kdim = jnp.int32(k_gcv)
-    f = jax.vmap(lambda lam: gcv_from_H(H, t, lam, trace_dim, kdim))
+    f = jax.vmap(lambda lam: gcv_from_H(H, t, lam, trace_dim, kdim, weight))
     return f(jnp.asarray(lam_grid, dtype=H.dtype))
 
 
@@ -189,6 +196,7 @@ def gcv_lambda(
     lo: float = 1e-9,
     hi: float = 1e-1,
     tol: float = 1e-8,
+    weight: float = 1.0,
 ):
     """GCV-optimal lambda via bounded minimization on the projected problem.
 
@@ -197,6 +205,6 @@ def gcv_lambda(
     """
     H, t, trace_dim, _ = _arnoldi_for(gcv_type, A, B, b, k_gcv)
     kdim = jnp.int32(k_gcv)
-    g = jax.jit(lambda lam: gcv_from_H(H, t, lam, trace_dim, kdim))
+    g = jax.jit(lambda lam: gcv_from_H(H, t, lam, trace_dim, kdim, weight))
     lam_opt, gcv_val = minimize_scalar_bounded(g, lo, hi, tol=tol)
     return lam_opt, gcv_val
