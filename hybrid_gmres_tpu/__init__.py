@@ -21,6 +21,8 @@ Design (see SURVEY.md):
 from hybrid_gmres_tpu.ops.linear_operator import (
     DenseOperator,
     AugmentedOperator,
+    ProductOperator,
+    ShiftedOperator,
     as_operator,
 )
 from hybrid_gmres_tpu.problems.onedim import generate_test_problem, shaw, heat, deriv2
@@ -34,6 +36,8 @@ __version__ = "0.1.0"
 __all__ = [
     "DenseOperator",
     "AugmentedOperator",
+    "ProductOperator",
+    "ShiftedOperator",
     "as_operator",
     "generate_test_problem",
     "shaw",

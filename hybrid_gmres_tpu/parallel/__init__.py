@@ -6,6 +6,7 @@ from hybrid_gmres_tpu.parallel.sharded import (
     ba_gmres_sharded,
 )
 from hybrid_gmres_tpu.parallel.sharded_full import ba_gmres_sharded_basis
+from hybrid_gmres_tpu.parallel.multihost import initialize_multihost
 
 __all__ = [
     "make_mesh",
@@ -14,4 +15,5 @@ __all__ = [
     "sharded_ab_matvec",
     "ba_gmres_sharded",
     "ba_gmres_sharded_basis",
+    "initialize_multihost",
 ]

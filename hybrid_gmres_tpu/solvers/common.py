@@ -58,6 +58,7 @@ def gmres_core(
     breakdown_tol: float = 0.0,
     history: bool = True,
     resume_from: "GMRESResult | None" = None,
+    x_init=None,
 ) -> GMRESResult:
     """Generic preconditioned-GMRES scan shared by AB/BA x {non,}hybrid x PTR/RTP.
 
@@ -99,7 +100,8 @@ def gmres_core(
         beta = jnp.linalg.norm(r0)
         Q0 = jnp.zeros((n, maxit + 1), dtype=dtype).at[:, 0].set(r0 / beta)
         H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
-        x0 = jnp.zeros((x_shape,), dtype=dtype)
+        x0 = (jnp.zeros((x_shape,), dtype=dtype) if x_init is None
+              else jnp.asarray(x_init, dtype=dtype))
     t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
 
     def body(carry, k):

@@ -73,3 +73,27 @@ def test_ab_gmres_mismatched_runs(prob):
     B_pert, _ = perturb_backprojector(A, 1e-4, seed=0)
     r = ab_gmres(A, B_pert, b, x_true, tol=1e-6, maxit=16, lam=1e-3)
     assert np.isfinite(float(r.err_hist[int(r.niters) - 1]))
+
+
+def test_restarted_gmres_converges():
+    from hybrid_gmres_tpu.solvers.gmres import ba_gmres_restarted
+
+    rng = np.random.default_rng(0)
+    n = 40
+    A = jnp.asarray(np.eye(n) + 0.1 * rng.standard_normal((n, n)))
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = A @ x_true
+    r = ba_gmres_restarted(A, A.T, b, x_true, tol=1e-10, restart=10,
+                           max_restarts=8)
+    k = int(r.niters)
+    assert float(r.res_hist[k - 1]) <= 1e-10
+    assert np.all(np.isfinite(np.asarray(r.err_hist)[:k]))
+
+
+def test_x0_warm_start(prob):
+    A, B, b, x_true = prob
+    r1 = ba_gmres(A, B, b, x_true, tol=1e-10, maxit=8, lam=1e-3)
+    r2 = ba_gmres(A, B, b, x_true, tol=1e-10, maxit=8, lam=1e-3, x0=r1.x)
+    # warm start from a partial solution must not regress the residual much
+    k1, k2 = int(r1.niters), int(r2.niters)
+    assert float(r2.res_hist[k2 - 1]) <= 2.0 * float(r1.res_hist[k1 - 1])
