@@ -5,7 +5,10 @@ from hybrid_gmres_tpu.parallel.sharded import (
     sharded_ab_matvec,
     ba_gmres_sharded,
 )
-from hybrid_gmres_tpu.parallel.sharded_full import ba_gmres_sharded_basis
+from hybrid_gmres_tpu.parallel.sharded_full import (
+    ba_gmres_sharded_basis,
+    ab_gmres_sharded_basis,
+)
 from hybrid_gmres_tpu.parallel.multihost import initialize_multihost
 
 __all__ = [
@@ -15,5 +18,6 @@ __all__ = [
     "sharded_ab_matvec",
     "ba_gmres_sharded",
     "ba_gmres_sharded_basis",
+    "ab_gmres_sharded_basis",
     "initialize_multihost",
 ]

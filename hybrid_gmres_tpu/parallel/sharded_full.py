@@ -160,3 +160,126 @@ def ba_gmres_sharded_basis(
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
+
+
+def ab_gmres_sharded_basis(
+    A,
+    B,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    maxit: int = 50,
+    lam=None,
+    mesh: Mesh | None = None,
+    axis: str = "rows",
+) -> GMRESResult:
+    """AB-GMRES with the m-space Krylov basis sharded over the ray axis.
+
+    The natural big-data layout (m = rays >> n = pixels): each device owns
+    an (m/p, maxit+1) slice of the m-space basis.  Per iteration: one psum(n)
+    for the image intermediate x = B q, a local A-row matmul, one fused
+    psum(k+1) per CGS2 pass, scalar psums for norms.  The solution back-map
+    ``x = B (Q_k y)`` is one more psum(n).
+    """
+    if mesh is None:
+        from hybrid_gmres_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_name=axis)
+    maxit = int(maxit)
+    p = mesh.devices.size
+    m, n = A.shape
+    if m % p:
+        raise ValueError(f"m={m} must divide the mesh size {p}")
+    dtype = b.dtype
+    have_xt = x_true is not None
+    if not have_xt:
+        x_true = jnp.zeros((n,), dtype=dtype)
+
+    def solver(A_loc, B_loc, b_loc, xt_full):
+        # A_loc: (m/p, n); B_loc: (n, m/p); m-space vectors: (m/p,)
+        def pdot(u_loc, v_loc):
+            return jax.lax.psum(jnp.dot(u_loc, v_loc), axis)
+
+        def pnorm(u_loc):
+            return jnp.sqrt(pdot(u_loc, u_loc))
+
+        def back_map(q_loc):
+            """x = B q for an m-sharded q: one psum of the n-vector."""
+            return jax.lax.psum(B_loc @ q_loc, axis)
+
+        b_norm = pnorm(b_loc)
+        xt_norm = jnp.linalg.norm(xt_full)
+
+        beta = pnorm(b_loc)
+        t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
+        mloc = b_loc.shape[0]
+        Q0 = jnp.zeros((mloc, maxit + 1), dtype=dtype).at[:, 0].set(
+            b_loc / beta
+        )
+        H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
+        x0 = jnp.zeros((n,), dtype=dtype)
+
+        if lam is None:
+            project_solve = lambda H, kdim: projected_ls_solve(H, t, kdim)
+        else:
+            project_solve = lambda H, kdim: projected_tikhonov_solve(
+                H, t, lam, kdim
+            )
+
+        def body(carry, k):
+            Q, H, x, active, niters = carry
+            q_loc = Q[:, k]
+            ximg = back_map(q_loc)            # (n,) replicated
+            w_loc = A_loc @ ximg              # local rows
+            c1 = jax.lax.psum(Q.T @ w_loc, axis)
+            w_loc = w_loc - Q @ c1
+            c2 = jax.lax.psum(Q.T @ w_loc, axis)
+            w_loc = w_loc - Q @ c2
+            h = c1 + c2
+            hnorm = pnorm(w_loc)
+            breakdown = hnorm <= jnp.zeros((), dtype)
+            hsafe = jnp.where(breakdown, jnp.ones((), dtype), hnorm)
+            h = h.at[k + 1].set(hnorm)
+            Hn = H.at[:, k].set(h)
+            Qn = Q.at[:, k + 1].set(
+                jnp.where(breakdown, jnp.zeros_like(w_loc), w_loc / hsafe)
+            )
+            Qn = jax.lax.select(active, Qn, Q)
+            Hn = jax.lax.select(active, Hn, H)
+
+            kdim = k + 1
+            y = project_solve(Hn, kdim)
+            z_loc = Qn[:, :maxit] @ y
+            xk = back_map(z_loc)              # x = B (Q y), replicated (n,)
+            r_loc = b_loc - A_loc @ xk
+            res_k = jnp.sqrt(pdot(r_loc, r_loc)) / b_norm
+            err_k = jnp.linalg.norm(xk - xt_full) / xt_norm
+
+            adopt = active & ~breakdown
+            x = jax.lax.select(adopt, xk, x)
+            nan = jnp.asarray(jnp.nan, dtype)
+            res_rec = jnp.where(adopt, res_k, nan)
+            err_rec = jnp.where(adopt, err_k, nan)
+            niters = jnp.where(active, kdim, niters)
+            stop = breakdown | (res_k <= tol)
+            active = active & ~stop
+            return (Qn, Hn, x, active, niters), (res_rec, err_rec)
+
+        (Q, H, x, _, niters), (res_hist, err_hist) = jax.lax.scan(
+            body,
+            (Q0, H0, x0, jnp.bool_(True), jnp.int32(0)),
+            jnp.arange(maxit, dtype=jnp.int32),
+        )
+        return x, err_hist, res_hist, niters, Q, H, beta
+
+    f = jax.shard_map(
+        solver,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, axis), P(axis), P()),
+        out_specs=(P(), P(), P(), P(), P(axis, None), P(), P()),
+        check_vma=False,
+    )
+    x, err_hist, res_hist, niters, Q, H, beta = f(A, B, b, x_true)
+    if not have_xt:
+        err_hist = jnp.full_like(err_hist, jnp.nan)
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)

@@ -105,7 +105,6 @@ def lsmr(
         nan = jnp.asarray(jnp.nan, dtype)
         sel = lambda a, b_: jax.lax.select(adopt, a, b_)
         x, u, v, h, hbar = sel(x_n, x), sel(u_n, u), sel(v_n, v), sel(h_n, h), sel(hbar_n, hbar)
-        w = jnp.where(adopt, 1.0, 0.0)  # scalar adoption mask
         alpha = jnp.where(adopt, alpha_n, alpha)
         zetabar = jnp.where(adopt, zetabar_n, zetabar)
         alphabar = jnp.where(adopt, alphabar_n, alphabar)

@@ -90,15 +90,10 @@ def _lsqr_core(
         return (x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters), (res_rec, err_rec)
 
     carry0 = (x0, u, v, w, beta, alpha, alpha, jnp.bool_(True), jnp.int32(0))
-    (x, *_rest, niters), (res_hist, err_hist) = _run(step, carry0, maxit)
-    return x, res_hist, err_hist, niters
-
-
-def _run(step, carry0, maxit):
-    (xf, u, v, w, pb, rb, al, act, niters), hists = jax.lax.scan(
+    (x, *_rest, niters), (res_hist, err_hist) = jax.lax.scan(
         step, carry0, jnp.arange(maxit, dtype=jnp.int32)
     )
-    return (xf, u, v, w, pb, rb, al, act, niters), hists
+    return x, res_hist, err_hist, niters
 
 
 def lsqr(

@@ -124,3 +124,31 @@ def test_sharded_basis_requires_divisible_dims(prob):
     mesh = make_mesh()
     with pytest.raises(ValueError):
         ba_gmres_sharded_basis(A[:, :30], B[:30], b, None, maxit=4, mesh=mesh)
+
+
+@pytest.mark.parametrize("lam", [None, 1e-3])
+def test_ab_sharded_basis_matches_single_device(prob, lam):
+    """m-space basis sharded over rays: == single-device AB-GMRES."""
+    from hybrid_gmres_tpu.parallel import ab_gmres_sharded_basis
+    from hybrid_gmres_tpu import ab_gmres
+
+    A, B, b, x_true = prob
+    mesh = make_mesh()
+    A_s, B_s, b_s = shard_problem(A, B, b, mesh)
+    r_ref = ab_gmres(A, B, b, x_true, tol=1e-10, maxit=16, lam=lam)
+    r_sh = ab_gmres_sharded_basis(
+        A_s, B_s, b_s, x_true, tol=1e-10, maxit=16, lam=lam, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_sh.x), np.asarray(r_ref.x), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_sh.err_hist), np.asarray(r_ref.err_hist), rtol=1e-8
+    )
+    assert int(r_sh.niters) == int(r_ref.niters)
+
+
+def test_initialize_multihost_noop_single_host():
+    from hybrid_gmres_tpu.parallel import initialize_multihost
+
+    assert initialize_multihost() is False
