@@ -171,6 +171,12 @@ def bucketed_block_ell_from_csr(csr, block=(8, 128), dtype=np.float32,
     nbr = m_pad // br
     counts = np.diff(bsr.indptr)
 
+    # Keep >= ~16 grid steps per bucket: tiny per-bucket grids leave the
+    # pallas pipeline no room to double-buffer (measured: the pixel-major
+    # back-projector at 8 buckets ran at ~60% of the ray-major throughput).
+    max_buckets = max(1, nbr // (row_group * 16))
+    n_buckets = min(n_buckets, max_buckets)
+
     order = np.argsort(-counts, kind="stable")  # descending block count
     # equal-size buckets over the sorted order, each padded to row_group rows
     bounds = np.linspace(0, nbr, n_buckets + 1).astype(int)
