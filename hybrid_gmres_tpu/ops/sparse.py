@@ -90,9 +90,11 @@ class BlockELLMatrix:
         nbr, maxb, br, bc = self.blocks.shape
         ncb = self.bcols_cols
         n_pad = ncb * bc
-        x_pad = jnp.zeros((n_pad,), x.dtype).at[: self.shape[1]].set(x)
+        acc_dtype = jnp.promote_types(jnp.float32, self.blocks.dtype)
+        x_pad = jnp.zeros((n_pad,), acc_dtype).at[: self.shape[1]].set(
+            x.astype(acc_dtype))
         xg = x_pad.reshape(ncb, bc)[self.bcols]        # (nbr, maxb, bc)
-        y = jnp.einsum("rbij,rbj->ri", self.blocks, xg.astype(self.blocks.dtype))
+        y = jnp.einsum("rbij,rbj->ri", self.blocks.astype(acc_dtype), xg)
         return y.reshape(nbr * br)[: self.shape[0]].astype(x.dtype)
 
     def tree_flatten(self):

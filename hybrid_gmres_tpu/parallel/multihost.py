@@ -31,15 +31,14 @@ def initialize_multihost(
     if coordinator_address is None and env_coord is None and num_processes is None:
         # no multi-host configuration present
         return False
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-        return True
-    except Exception:
-        return False
+    # A multi-host configuration WAS requested: initialization failures must
+    # surface (proceeding single-host would silently compute partial results).
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
 
 
 def local_shard_info(mesh, axis: str = "rows") -> dict:

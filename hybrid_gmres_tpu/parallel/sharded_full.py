@@ -54,7 +54,8 @@ def ba_gmres_sharded_basis(
     p = mesh.devices.size
     m, n = A.shape
     if n % p or m % p:
-        raise ValueError(f"m={m} and n={n} must divide the mesh size {p}")
+        raise ValueError(
+            f"mesh size {p} must divide both m={m} and n={n}")
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
@@ -132,12 +133,12 @@ def ba_gmres_sharded_basis(
             d_loc = xk_loc - xt_loc
             err_k = jnp.sqrt(pdot(d_loc, d_loc)) / xt_norm
 
-            adopt = active & ~breakdown
+            adopt = active  # lucky breakdown: the projected solve is exact
             x = jax.lax.select(adopt, xk_loc, x)
             nan = jnp.asarray(jnp.nan, dtype)
             res_rec = jnp.where(adopt, res_k, nan)
             err_rec = jnp.where(adopt, err_k, nan)
-            niters = jnp.where(active, kdim, niters)
+            niters = jnp.where(adopt, kdim, niters)
             stop = breakdown | (res_k <= tol)
             active = active & ~stop
             return (Qn, Hn, x, active, niters), (res_rec, err_rec)
@@ -189,7 +190,7 @@ def ab_gmres_sharded_basis(
     p = mesh.devices.size
     m, n = A.shape
     if m % p:
-        raise ValueError(f"m={m} must divide the mesh size {p}")
+        raise ValueError(f"mesh size {p} must divide m={m}")
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
@@ -255,12 +256,12 @@ def ab_gmres_sharded_basis(
             res_k = jnp.sqrt(pdot(r_loc, r_loc)) / b_norm
             err_k = jnp.linalg.norm(xk - xt_full) / xt_norm
 
-            adopt = active & ~breakdown
+            adopt = active  # lucky breakdown: the projected solve is exact
             x = jax.lax.select(adopt, xk, x)
             nan = jnp.asarray(jnp.nan, dtype)
             res_rec = jnp.where(adopt, res_k, nan)
             err_rec = jnp.where(adopt, err_k, nan)
-            niters = jnp.where(active, kdim, niters)
+            niters = jnp.where(adopt, kdim, niters)
             stop = breakdown | (res_k <= tol)
             active = active & ~stop
             return (Qn, Hn, x, active, niters), (res_rec, err_rec)

@@ -18,8 +18,6 @@ of the *square* block ``H_k`` and ``N`` the full problem dimension (m for
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -35,16 +35,6 @@ class GKBResult(NamedTuple):
     ar_hist: Optional[jax.Array] = None  # LSMR only: ||A^T r|| history
 
 
-def _nan_like(x):
-    return jnp.full_like(x, jnp.nan)
-
-
-def mask_history(hist, niters):
-    """NaN out entries at 1-based iteration indices > niters."""
-    idx = jnp.arange(hist.shape[-1]) + 1
-    return jnp.where(idx <= niters, hist, jnp.nan)
-
-
 def gmres_core(
     krylov_mv: Callable,
     r0: jax.Array,
@@ -81,8 +71,13 @@ def gmres_core(
         x = solution_fn(Q, y)
         res = residual_fn(x)
         err = error_fn(x)
-        res_hist = jnp.full((maxit,), jnp.nan, dtype=dtype).at[nsteps - 1].set(res)
-        err_hist = jnp.full((maxit,), jnp.nan, dtype=dtype).at[nsteps - 1].set(err)
+        slot = jnp.maximum(nsteps - 1, 0)
+        ok = nsteps > 0
+        nan = jnp.asarray(jnp.nan, dtype)
+        res_hist = jnp.full((maxit,), jnp.nan, dtype=dtype).at[slot].set(
+            jnp.where(ok, res, nan))
+        err_hist = jnp.full((maxit,), jnp.nan, dtype=dtype).at[slot].set(
+            jnp.where(ok, err, nan))
         return GMRESResult(x, err_hist, res_hist, nsteps, Q, H, beta_)
 
     if resume_from is not None:
@@ -98,7 +93,9 @@ def gmres_core(
     else:
         k0 = 0
         beta = jnp.linalg.norm(r0)
-        Q0 = jnp.zeros((n, maxit + 1), dtype=dtype).at[:, 0].set(r0 / beta)
+        beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
+        Q0 = jnp.zeros((n, maxit + 1), dtype=dtype).at[:, 0].set(
+            jnp.where(beta > 0, r0 / beta_safe, jnp.zeros_like(r0)))
         H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
         x0 = (jnp.zeros((x_shape,), dtype=dtype) if x_init is None
               else jnp.asarray(x_init, dtype=dtype))
@@ -115,28 +112,39 @@ def gmres_core(
         xk = solution_fn(Qn, y)
         res_k = residual_fn(xk)
         err_k = error_fn(xk)
-        # Reference: breakdown breaks *before* the projected solve, so the
-        # breakdown iteration contributes no solution update or history entry
-        # (``ABgmres_nonhybrid_bounds.m:31``); we record NaN there.
-        adopt = active & ~breakdown
+        # On (lucky) breakdown the Krylov space is invariant, so the
+        # projected solve at this k is exact — adopt it, then stop.  (The
+        # reference breaks *before* the solve, ``ABgmres_nonhybrid_bounds.m:
+        # 31``, leaving xk from the previous iteration — and would crash on a
+        # first-iteration breakdown; adopting is strictly more correct.)
+        adopt = active
         x = jax.lax.select(adopt, xk, x)
         nan = jnp.asarray(jnp.nan, dtype)
         res_rec = jnp.where(adopt, res_k, nan)
         err_rec = jnp.where(adopt, err_k, nan)
-        niters = jnp.where(active, kdim, niters)
+        niters = jnp.where(adopt, kdim, niters)
         stop = breakdown | (res_k <= tol)
         active = active & ~stop
         return (Qn, Hn, x, active, niters), (res_rec, err_rec)
 
+    start_active = jnp.bool_(True) if resume_from is not None else (beta > 0)
     (Q, H, x, _, niters), (res_hist, err_hist) = jax.lax.scan(
         body,
-        (Q0, H0, x0, jnp.bool_(True), jnp.int32(k0)),
+        (Q0, H0, x0, start_active, jnp.int32(k0)),
         jnp.arange(k0, maxit, dtype=jnp.int32),
     )
     if k0 > 0:
         res_hist = jnp.concatenate([prior_res[:k0], res_hist])
         err_hist = jnp.concatenate([prior_err[:k0], err_hist])
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
+
+
+def safe_normalize(vec):
+    """(vec/||vec||, ||vec||, ok): zero vectors normalize to zero, ok=False."""
+    nrm = jnp.linalg.norm(vec)
+    ok = nrm > 0
+    safe = jnp.where(ok, nrm, jnp.ones((), vec.dtype))
+    return jnp.where(ok, vec / safe, jnp.zeros_like(vec)), nrm, ok
 
 
 def rel_residual_fn(A_op, b):

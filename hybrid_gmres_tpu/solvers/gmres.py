@@ -18,8 +18,6 @@ perturbation-bound instrumentation fused into the reference solvers lives in
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -132,7 +130,10 @@ def ba_gmres(
     ``lam``: None (non-hybrid LS), scalar (hybrid PTR), or "gcv"
     (per-iteration GCV-optimal lambda over ``gcv_grid``).
     ``x0``: optional initial iterate (``r0 = B (b - A x0)``, solution
-    ``x = x0 + Q_k y`` — the restart building block).
+    ``x = x0 + Q_k y`` — the restart building block).  NOTE: when resuming a
+    run that used ``x0`` (``resume_from=``), the SAME ``x0`` must be passed
+    again — the saved state stores only the Krylov factorization, not the
+    offset.
     """
     A = as_operator(A)
     B = as_operator(B)
@@ -197,7 +198,10 @@ def ba_gmres_restarted(
         total_iters += k
         x0 = r.x
         last = r
-        if k == 0 or float(np.asarray(r.res_hist)[k - 1]) <= tol:
+        if k == 0:
+            break  # breakdown or zero RHS: no progress possible
+        last_res = float(np.asarray(r.res_hist)[k - 1])
+        if np.isnan(last_res) or last_res <= tol:
             break
     res_hist = jnp.asarray(np.concatenate(res_hists))
     err_hist = jnp.asarray(np.concatenate(err_hists))

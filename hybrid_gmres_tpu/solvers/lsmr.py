@@ -25,14 +25,11 @@ import jax.numpy as jnp
 
 from hybrid_gmres_tpu.ops.linear_operator import as_operator
 from hybrid_gmres_tpu.krylov.projected import projected_gram_tikhonov_solve
-from hybrid_gmres_tpu.solvers.common import GKBResult, rel_error_fn
-
-
-def _safe_normalize(vec):
-    nrm = jnp.linalg.norm(vec)
-    ok = nrm > 0
-    safe = jnp.where(ok, nrm, jnp.ones((), vec.dtype))
-    return jnp.where(ok, vec / safe, jnp.zeros_like(vec)), nrm, ok
+from hybrid_gmres_tpu.solvers.common import (
+    GKBResult,
+    rel_error_fn,
+    safe_normalize as _safe_normalize,
+)
 
 
 def lsmr(

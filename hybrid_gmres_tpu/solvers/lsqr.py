@@ -21,14 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from hybrid_gmres_tpu.ops.linear_operator import AugmentedOperator, as_operator
-from hybrid_gmres_tpu.solvers.common import GKBResult
-
-
-def _safe_normalize(vec):
-    nrm = jnp.linalg.norm(vec)
-    ok = nrm > 0
-    safe = jnp.where(ok, nrm, jnp.ones((), vec.dtype))
-    return jnp.where(ok, vec / safe, jnp.zeros_like(vec)), nrm, ok
+from hybrid_gmres_tpu.solvers.common import GKBResult, safe_normalize as _safe_normalize
 
 
 def _lsqr_core(
@@ -121,9 +114,12 @@ def lsqr(
         maxit=maxit,
         tol=tol,
     )
-    # Patch the last recorded entry with the true residual (lsqr_solver.m:52).
+    # Patch the last recorded entry with the true residual (lsqr_solver.m:52);
+    # skip when no iteration was ever adopted (niters=0 would wrap the index).
     true_res = jnp.linalg.norm(b - A.matvec(x)) / b_norm
-    res_hist = res_hist.at[niters - 1].set(true_res)
+    slot = jnp.maximum(niters - 1, 0)
+    res_hist = res_hist.at[slot].set(
+        jnp.where(niters > 0, true_res, res_hist[slot]))
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist, niters=niters)
 
 

@@ -97,3 +97,31 @@ def test_x0_warm_start(prob):
     # warm start from a partial solution must not regress the residual much
     k1, k2 = int(r1.niters), int(r2.niters)
     assert float(r2.res_hist[k2 - 1]) <= 2.0 * float(r1.res_hist[k1 - 1])
+
+
+def test_breakdown_niters_contract():
+    """Lucky breakdown: histories are finite exactly up to niters (the
+    'NaN beyond niters' contract), and restarted GMRES terminates."""
+    from hybrid_gmres_tpu.solvers.gmres import ba_gmres_restarted
+
+    n = 8
+    A = jnp.eye(n)
+    b = jnp.zeros(n).at[0].set(1.0)
+    r = ba_gmres(A, A.T, b, None, tol=1e-12, maxit=4)
+    k = int(r.niters)
+    assert k == 1  # one adopted iteration (exact solve), then breakdown
+    assert np.isfinite(float(r.res_hist[k - 1]))
+    assert np.all(np.isnan(np.asarray(r.res_hist)[k:]))
+    # restarted wrapper must terminate promptly with the exact solution
+    rr = ba_gmres_restarted(A, A.T, b, None, tol=1e-12, restart=4,
+                            max_restarts=5)
+    assert np.allclose(np.asarray(rr.x), np.asarray(b))
+
+
+def test_zero_rhs_is_guarded():
+    n = 8
+    A = jnp.eye(n)
+    r = ba_gmres(A, A.T, jnp.zeros(n), None, tol=1e-12, maxit=4)
+    assert int(r.niters) == 0
+    assert np.all(np.asarray(r.x) == 0.0)
+    assert np.all(np.isnan(np.asarray(r.res_hist)))
