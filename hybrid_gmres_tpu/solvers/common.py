@@ -49,6 +49,7 @@ def gmres_core(
     history: bool = True,
     resume_from: "GMRESResult | None" = None,
     x_init=None,
+    residual: str = "true",
 ) -> GMRESResult:
     """Generic preconditioned-GMRES scan shared by AB/BA x {non,}hybrid x PTR/RTP.
 
@@ -57,7 +58,15 @@ def gmres_core(
     (``BAgmres_hybrid_bounds.m:24-80``).  Runs as one ``lax.scan`` with an
     active mask; with ``history=False`` the per-iteration projected solves are
     skipped and only the final solution is formed (benchmark mode).
+
+    ``residual``: "true" recomputes ``||b - A x_k||`` each iteration with an
+    explicit matvec (reference parity, ``BAgmres_hybrid_bounds.m:39``);
+    "estimate" uses the projected LS residual ``||t - Hbar y|| / beta`` —
+    the M-space residual, free of matvecs (~30% fewer operator applications
+    per iteration; the stopping test then acts in the preconditioned norm).
     """
+    if residual not in ("true", "estimate"):
+        raise ValueError("residual must be 'true' or 'estimate'")
     dtype = r0.dtype
     n = r0.shape[0]
 
@@ -110,7 +119,10 @@ def gmres_core(
         kdim = k + 1
         y = project_solve(Hn, Qn, t, kdim)
         xk = solution_fn(Qn, y)
-        res_k = residual_fn(xk)
+        if residual == "true":
+            res_k = residual_fn(xk)
+        else:
+            res_k = jnp.linalg.norm(t - Hn @ y) / beta
         err_k = error_fn(xk)
         # On (lucky) breakdown the Krylov space is invariant, so the
         # projected solve at this k is exact — adopt it, then stop.  (The

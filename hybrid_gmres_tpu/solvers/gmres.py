@@ -81,6 +81,7 @@ def ab_gmres(
     breakdown_tol: float = 0.0,
     gcv_grid=None,
     resume_from: GMRESResult | None = None,
+    residual: str = "true",
 ) -> GMRESResult:
     """AB-GMRES: Krylov space in m-space on ``M = A B``; ``x = B Q_k y``.
 
@@ -108,6 +109,7 @@ def ab_gmres(
         breakdown_tol=breakdown_tol,
         history=history,
         resume_from=resume_from,
+        residual=residual,
     )
 
 
@@ -124,6 +126,7 @@ def ba_gmres(
     gcv_grid=None,
     resume_from: GMRESResult | None = None,
     x0=None,
+    residual: str = "true",
 ) -> GMRESResult:
     """BA-GMRES: Krylov space in n-space on ``M = B A`` with ``r0 = B b``.
 
@@ -162,6 +165,7 @@ def ba_gmres(
         history=history,
         resume_from=resume_from,
         x_init=x0,
+        residual=residual,
     )
 
 

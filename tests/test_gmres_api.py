@@ -125,3 +125,18 @@ def test_zero_rhs_is_guarded():
     assert int(r.niters) == 0
     assert np.all(np.asarray(r.x) == 0.0)
     assert np.all(np.isnan(np.asarray(r.res_hist)))
+
+
+def test_residual_estimate_mode(prob):
+    A, B, b, x_true = prob
+    r_true = ba_gmres(A, B, b, x_true, tol=0.0, maxit=12, lam=1e-3)
+    r_est = ba_gmres(A, B, b, x_true, tol=0.0, maxit=12, lam=1e-3,
+                     residual="estimate")
+    # same iterates (error histories identical); different residual metric
+    np.testing.assert_allclose(
+        np.asarray(r_est.err_hist), np.asarray(r_true.err_hist), rtol=1e-12
+    )
+    assert np.all(np.isfinite(np.asarray(r_est.res_hist)[:12]))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ba_gmres(A, B, b, x_true, maxit=4, residual="banana")
