@@ -24,21 +24,20 @@ class ArnoldiState(NamedTuple):
     breakdown: jax.Array  # bool: subdiagonal entry hit breakdown_tol
 
 
-def arnoldi_step(
-    matvec: Callable,
+def arnoldi_orthogonalize(
     Q: jax.Array,
     H: jax.Array,
     k,
+    w: jax.Array,
     breakdown_tol: float = 0.0,
 ) -> ArnoldiState:
-    """One Arnoldi expansion: from basis size k+1 to k+2 (0-based step k).
+    """CGS2-orthogonalize a precomputed expansion vector ``w = M q_k``.
 
-    CGS2: w = M q_k; two projection passes c = Q^T w, w -= Q c; the summed
-    coefficients land in H[:, k] and ||w|| in H[k+1, k].
+    Split out of :func:`arnoldi_step` so callers that need the raw operator
+    image (e.g. the fused-residual GMRES mode, which stores ``A q_k`` to
+    reconstruct ``A x_k`` without an extra SpMV) can compute ``w`` themselves.
     """
     dtype = Q.dtype
-    q = Q[:, k]
-    w = matvec(q)
     c1 = Q.T @ w
     w = w - Q @ c1
     c2 = Q.T @ w
@@ -52,6 +51,21 @@ def arnoldi_step(
     qnew = jnp.where(breakdown, jnp.zeros_like(w), w / hsafe)
     Q = Q.at[:, k + 1].set(qnew)
     return ArnoldiState(Q=Q, H=H, breakdown=breakdown)
+
+
+def arnoldi_step(
+    matvec: Callable,
+    Q: jax.Array,
+    H: jax.Array,
+    k,
+    breakdown_tol: float = 0.0,
+) -> ArnoldiState:
+    """One Arnoldi expansion: from basis size k+1 to k+2 (0-based step k).
+
+    CGS2: w = M q_k; two projection passes c = Q^T w, w -= Q c; the summed
+    coefficients land in H[:, k] and ||w|| in H[k+1, k].
+    """
+    return arnoldi_orthogonalize(Q, H, k, matvec(Q[:, k]), breakdown_tol)
 
 
 def arnoldi(

@@ -14,7 +14,36 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from hybrid_gmres_tpu.krylov.arnoldi import arnoldi, arnoldi_step
+from hybrid_gmres_tpu.krylov.arnoldi import (
+    arnoldi,
+    arnoldi_orthogonalize,
+    arnoldi_step,
+)
+
+
+class FusedResidual(NamedTuple):
+    """Spec for the fused (stored-image) exact-residual mode.
+
+    The Krylov matvec is a two-stage composition ``w = second(first(q))``
+    (BA: ``B(A q)``; AB: ``A(B q)``).  Storing the per-step images lets the
+    per-iteration TRUE residual ``||b - A x_k||`` be formed as a small matmul
+    against the stored image basis instead of an extra SpMV — exactly equal
+    (up to float reassociation) to the explicit recomputation the reference
+    does each iteration (``BAgmres_hybrid_bounds.m:39``):
+
+      * BA-GMRES: ``x = Q y`` so ``A x = (A Q) y``; store ``u_k = A q_k``
+        (first-stage output) -> saves the residual SpMV (1 of 3 per iter).
+      * AB-GMRES: ``x = B Q y`` so ``A x = (A B Q) y``; store the raw
+        ``w_k = A (B q_k)`` (second-stage output, pre-orthogonalization) for
+        the residual AND ``s_k = B q_k`` for the solution ``x = S y`` ->
+        saves both the solution SpMV and the residual SpMV (2 of 4 per iter).
+    """
+    first_mv: Callable        # q -> first-stage image (BA: A q; AB: B q)
+    second_mv: Callable       # first image -> Krylov vector w
+    rhs: jax.Array            # image-space RHS: b, or b - A x0 when x0 != 0
+    rhs_norm: jax.Array       # ||b|| (residual denominator, always vs b)
+    img: str = "first"        # which stage's image spans A x ("first"/"second")
+    solution_from_image: bool = False  # AB: x = (first images) @ y
 
 
 class GMRESResult(NamedTuple):
@@ -50,6 +79,7 @@ def gmres_core(
     resume_from: "GMRESResult | None" = None,
     x_init=None,
     residual: str = "true",
+    fused: "FusedResidual | None" = None,
 ) -> GMRESResult:
     """Generic preconditioned-GMRES scan shared by AB/BA x {non,}hybrid x PTR/RTP.
 
@@ -63,10 +93,23 @@ def gmres_core(
     explicit matvec (reference parity, ``BAgmres_hybrid_bounds.m:39``);
     "estimate" uses the projected LS residual ``||t - Hbar y|| / beta`` —
     the M-space residual, free of matvecs (~30% fewer operator applications
-    per iteration; the stopping test then acts in the preconditioned norm).
+    per iteration; the stopping test then acts in the preconditioned norm);
+    "fused" computes the SAME true residual as "true" but from stored
+    per-step operator images (see :class:`FusedResidual`) — no extra SpMV,
+    identical values up to float reassociation.
     """
-    if residual not in ("true", "estimate"):
-        raise ValueError("residual must be 'true' or 'estimate'")
+    if residual not in ("true", "estimate", "fused"):
+        raise ValueError("residual must be 'true', 'estimate' or 'fused'")
+    if residual == "fused":
+        if fused is None:
+            raise ValueError("residual='fused' requires a FusedResidual spec")
+        if not history:
+            raise ValueError("residual='fused' requires history=True (with "
+                             "history=False only one final residual is "
+                             "computed; use residual='true')")
+        if resume_from is not None:
+            raise ValueError("residual='fused' does not support resume_from "
+                             "(the image basis is not checkpointed)")
     dtype = r0.dtype
     n = r0.shape[0]
 
@@ -110,17 +153,37 @@ def gmres_core(
               else jnp.asarray(x_init, dtype=dtype))
     t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
 
+    if residual == "fused":
+        IMG0 = jnp.zeros((fused.rhs.shape[0], maxit), dtype=dtype)
+        S0 = (jnp.zeros((x_shape, maxit), dtype=dtype)
+              if fused.solution_from_image else None)
+    else:
+        IMG0, S0 = None, None
+
     def body(carry, k):
-        Q, H, x, active, niters = carry
-        st = arnoldi_step(krylov_mv, Q, H, k, breakdown_tol)
+        Q, H, x, active, niters, IMG, S = carry
+        if residual == "fused":
+            u = fused.first_mv(Q[:, k])
+            w = fused.second_mv(u)
+            IMG = IMG.at[:, k].set(u if fused.img == "first" else w)
+            if fused.solution_from_image:
+                S = S.at[:, k].set(u)
+            st = arnoldi_orthogonalize(Q, H, k, w, breakdown_tol)
+        else:
+            st = arnoldi_step(krylov_mv, Q, H, k, breakdown_tol)
         Qn = jax.lax.select(active, st.Q, Q)
         Hn = jax.lax.select(active, st.H, H)
         breakdown = st.breakdown
         kdim = k + 1
         y = project_solve(Hn, Qn, t, kdim)
-        xk = solution_fn(Qn, y)
+        if residual == "fused" and fused.solution_from_image:
+            xk = S @ y
+        else:
+            xk = solution_fn(Qn, y)
         if residual == "true":
             res_k = residual_fn(xk)
+        elif residual == "fused":
+            res_k = jnp.linalg.norm(fused.rhs - IMG @ y) / fused.rhs_norm
         else:
             res_k = jnp.linalg.norm(t - Hn @ y) / beta
         err_k = error_fn(xk)
@@ -137,12 +200,12 @@ def gmres_core(
         niters = jnp.where(adopt, kdim, niters)
         stop = breakdown | (res_k <= tol)
         active = active & ~stop
-        return (Qn, Hn, x, active, niters), (res_rec, err_rec)
+        return (Qn, Hn, x, active, niters, IMG, S), (res_rec, err_rec)
 
     start_active = jnp.bool_(True) if resume_from is not None else (beta > 0)
-    (Q, H, x, _, niters), (res_hist, err_hist) = jax.lax.scan(
+    (Q, H, x, _, niters, _, _), (res_hist, err_hist) = jax.lax.scan(
         body,
-        (Q0, H0, x0, start_active, jnp.int32(k0)),
+        (Q0, H0, x0, start_active, jnp.int32(k0), IMG0, S0),
         jnp.arange(k0, maxit, dtype=jnp.int32),
     )
     if k0 > 0:

@@ -27,6 +27,7 @@ from hybrid_gmres_tpu.krylov.projected import (
     projected_tikhonov_solve,
 )
 from hybrid_gmres_tpu.solvers.common import (
+    FusedResidual,
     GMRESResult,
     gmres_core,
     rel_error_fn,
@@ -87,6 +88,9 @@ def ab_gmres(
 
     ``lam``: None (non-hybrid LS), scalar (hybrid PTR), or "gcv"
     (per-iteration GCV-optimal lambda over ``gcv_grid``).
+    ``residual="fused"`` stores the per-step images ``B q_k`` and
+    ``A (B q_k)`` so both the per-iteration solution and TRUE residual are
+    small matmuls — 2 SpMVs/iteration instead of 4, identical numbers.
     """
     A = as_operator(A)
     B = as_operator(B)
@@ -96,6 +100,12 @@ def ab_gmres(
 
     krylov_mv = lambda q: A.matvec(B.matvec(q))
     solution_fn = lambda Q, y: B.matvec(Q[:, :maxit] @ y)
+    fused = (
+        FusedResidual(first_mv=B.matvec, second_mv=A.matvec, rhs=b,
+                      rhs_norm=jnp.linalg.norm(b), img="second",
+                      solution_from_image=True)
+        if residual == "fused" else None
+    )
     return gmres_core(
         krylov_mv=krylov_mv,
         r0=b,
@@ -110,6 +120,7 @@ def ab_gmres(
         history=history,
         resume_from=resume_from,
         residual=residual,
+        fused=fused,
     )
 
 
@@ -146,11 +157,18 @@ def ba_gmres(
 
     krylov_mv = lambda q: B.matvec(A.matvec(q))
     if x0 is None:
+        rhs = b
         r0 = B.matvec(b)
         solution_fn = lambda Q, y: Q[:, :maxit] @ y
     else:
-        r0 = B.matvec(b - A.matvec(x0))
+        rhs = b - A.matvec(x0)
+        r0 = B.matvec(rhs)
         solution_fn = lambda Q, y: x0 + Q[:, :maxit] @ y
+    fused = (
+        FusedResidual(first_mv=A.matvec, second_mv=B.matvec, rhs=rhs,
+                      rhs_norm=jnp.linalg.norm(b), img="first")
+        if residual == "fused" else None
+    )
     return gmres_core(
         krylov_mv=krylov_mv,
         r0=r0,
@@ -166,6 +184,7 @@ def ba_gmres(
         resume_from=resume_from,
         x_init=x0,
         residual=residual,
+        fused=fused,
     )
 
 

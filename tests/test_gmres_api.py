@@ -140,3 +140,43 @@ def test_residual_estimate_mode(prob):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ba_gmres(A, B, b, x_true, maxit=4, residual="banana")
+
+
+def test_residual_fused_mode_exact(prob):
+    # fused = true residual reconstructed from stored operator images:
+    # identical numbers (up to reassociation) for AB and BA, hybrid or not,
+    # and with an x0 warm start.
+    A, B, b, x_true = prob
+    for solver in (ab_gmres, ba_gmres):
+        for lam in (None, 1e-3):
+            # shaw is ill-conditioned; late non-hybrid iterations amplify
+            # float reassociation (convention: early iters tight — CLAUDE.md)
+            rtol = 1e-10 if lam is not None else 1e-4
+            rt = solver(A, B, b, x_true, tol=0.0, maxit=12, lam=lam)
+            rf = solver(A, B, b, x_true, tol=0.0, maxit=12, lam=lam,
+                        residual="fused")
+            np.testing.assert_allclose(
+                np.asarray(rf.res_hist), np.asarray(rt.res_hist),
+                rtol=rtol, atol=1e-13)
+            np.testing.assert_allclose(
+                np.asarray(rf.err_hist), np.asarray(rt.err_hist),
+                rtol=rtol, atol=1e-13)
+            np.testing.assert_allclose(
+                np.asarray(rf.res_hist)[:6], np.asarray(rt.res_hist)[:6],
+                rtol=1e-10, atol=1e-14)
+            np.testing.assert_allclose(
+                np.asarray(rf.x), np.asarray(rt.x), rtol=1e-3, atol=1e-12)
+    x0 = jnp.full(A.shape[1], 0.1, b.dtype)
+    rt = ba_gmres(A, B, b, x_true, tol=0.0, maxit=8, lam=1e-3, x0=x0)
+    rf = ba_gmres(A, B, b, x_true, tol=0.0, maxit=8, lam=1e-3, x0=x0,
+                  residual="fused")
+    np.testing.assert_allclose(np.asarray(rf.res_hist),
+                               np.asarray(rt.res_hist), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(rf.x), np.asarray(rt.x),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_residual_fused_rejects_unsupported_combos(prob):
+    A, B, b, x_true = prob
+    with pytest.raises(ValueError):
+        ba_gmres(A, B, b, x_true, maxit=4, residual="fused", history=False)
