@@ -40,10 +40,19 @@ def main():
     maxit = 100
     on_tpu = jax.default_backend() not in ("cpu",)
 
+    from hybrid_gmres_tpu.ops.ordering import morton_perm, reorder_pair
+
     t0 = time.time()
     prob = ct_mismatched(n=64, n_angles=180, n_det=180, dense=False)
-    A_csr = prob.A_csr.astype(np.float32)
-    B_csr = prob.B_csr.astype(np.float32)
+    # Morton-order both spaces (rays by (angle, det), pixels by (x, y)):
+    # identical math — same permutation on A rows / B cols and A cols /
+    # B rows, norms invariant — but 3.2x fewer (8, 128) blocks (352 ->
+    # 111MB of bf16 panels), and the SpMV kernel is panel-bandwidth-bound.
+    ray_perm = morton_perm(180, 180)
+    pix_perm = morton_perm(64, 64)
+    A_csr, B_csr = reorder_pair(
+        prob.A_csr.astype(np.float32), prob.B_csr.astype(np.float32),
+        ray_perm, pix_perm)
     print(f"[bench] CT assembly: {time.time()-t0:.1f}s  A={A_csr.shape} "
           f"nnz(A)={A_csr.nnz} nnz(B)={B_csr.nnz}", file=sys.stderr)
 
@@ -70,8 +79,8 @@ def main():
     rng = np.random.default_rng(0)
     e = rng.standard_normal(prob.b_exact.shape)
     e = e / np.linalg.norm(e) * 0.25 * float(jnp.linalg.norm(prob.b_exact))
-    b = (prob.b_exact + jnp.asarray(e)).astype(jnp.float32)
-    x_true = prob.x_true.astype(jnp.float32)
+    b = (prob.b_exact + jnp.asarray(e)).astype(jnp.float32)[ray_perm]
+    x_true = prob.x_true.astype(jnp.float32)[pix_perm]
 
     @jax.jit
     def _solve(A, B, bb, xt):

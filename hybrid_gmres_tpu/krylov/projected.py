@@ -17,6 +17,7 @@ Reference semantics being reproduced:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -69,7 +70,10 @@ def projected_tikhonov_solve(H, t, lam, kdim):
     lam = jnp.asarray(lam, dtype=dtype)
     G = G + lam * jnp.eye(maxit, dtype=dtype) + jnp.diag(_inactive_diag(maxit, kdim, dtype))
     rhs = H.T @ t
-    y = jnp.linalg.solve(G, rhs)
+    # G is SPD (Gram + lam I + identity on the inactive block): Cholesky is
+    # cheaper than LU on device and runs once per scan iteration.
+    L = jnp.linalg.cholesky(G)
+    y = jax.scipy.linalg.cho_solve((L, True), rhs)
     idx = jnp.arange(maxit)
     return jnp.where(idx < kdim, y, jnp.zeros((), dtype))
 

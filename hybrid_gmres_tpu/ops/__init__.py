@@ -1,3 +1,8 @@
+from hybrid_gmres_tpu.ops.ordering import (
+    inverse_perm,
+    morton_perm,
+    reorder_pair,
+)
 from hybrid_gmres_tpu.ops.linear_operator import (
     LinearOperator,
     DenseOperator,

@@ -83,6 +83,92 @@ def _bucket_matvec(bcols_flat, blocks, x2d, interpret=False):
     )(bcols_flat, blocks, x2d)
 
 
+def _bucket_rmatvec(bcols_flat, blocks, u_rows, ncb, interpret=False):
+    """One bucket, transposed: y (ncb, bc) += sum_j blocks[r,j]^T u_rows[r].
+
+    The whole output vector (ncb, 128) stays resident in VMEM across every
+    grid step (constant output index map; the TPU grid is sequential, so
+    cross-step accumulation is well-defined) — n is small (pixel space), so
+    the scatter target is a 16KB tile and the dynamic sublane STORE mirrors
+    the forward kernel's dynamic load.
+    """
+    nbr, maxb, br, bc = blocks.shape
+    G = _ROW_GROUP
+    assert nbr % G == 0
+
+    def kernel(bcols_ref, blocks_ref, u_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        for g in range(G):
+            u_g = u_ref[pl.ds(g * br, br), :]  # (br, 1)
+
+            def body(j, _):
+                c = bcols_ref[(i * G + g) * maxb + j]
+                blk = blocks_ref[g, j]
+                contrib = jnp.sum(
+                    blk.astype(jnp.float32) * u_g, axis=0, keepdims=True
+                )  # (1, bc); padded blocks are zero -> add 0 to block-col 0
+                out_ref[pl.ds(c, 1), :] += contrib
+                return 0
+
+            jax.lax.fori_loop(0, maxb, body, 0, unroll=maxb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr // G,),
+        in_specs=[
+            pl.BlockSpec((G, maxb, br, bc), lambda i, b: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * br, 1), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ncb, bc), lambda i, b: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ncb, bc), jnp.float32),
+        interpret=interpret,
+    )(bcols_flat, blocks, u_rows.reshape(-1, 1))
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bucketed_bsr_rmatvec(bell: BucketedBlockELL, u, interpret=False):
+    """y = A^T u through the transposed bucketed Pallas kernel.
+
+    Uses the SAME panel as the forward kernel — the preferred direction for
+    operators whose transpose blocks densely (the CT back-projector's
+    pixel-major blocking pads ~40% more than ray-major; storing it as the
+    transpose and applying it with this kernel reads 145MB instead of 205MB
+    per application, CT n=64 bf16).
+    """
+    br, bc = bell.block_shape
+    m, n = bell.shape
+    nbr = -(-m // br)  # original (pre-bucket-padding) block-row count
+    # positions -> original block-row; bucket padding positions stay -1
+    total = sum(blocks.shape[0] for blocks, _ in bell.buckets)
+    perm = jnp.full((total,), -1, jnp.int32).at[bell.inv_perm].set(
+        jnp.arange(nbr, dtype=jnp.int32))
+    u_pad = jnp.zeros((nbr * br,), jnp.float32).at[:m].set(
+        u.astype(jnp.float32)).reshape(nbr, br)
+    u_sorted = jnp.where((perm >= 0)[:, None],
+                         u_pad[jnp.clip(perm, 0)], 0.0)  # (total, br)
+    y2d = jnp.zeros((bell.ncb, bc), jnp.float32)
+    off = 0
+    for blocks, bcols in bell.buckets:
+        nbr_b = blocks.shape[0]
+        y2d = y2d + _bucket_rmatvec(
+            bcols.reshape(-1), blocks, u_sorted[off:off + nbr_b],
+            bell.ncb, interpret=interpret)
+        off += nbr_b
+    return y2d.reshape(-1)[:n].astype(u.dtype)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def bucketed_bsr_matvec(bell: BucketedBlockELL, x, interpret=False):
     """y = A x through the bucketed Pallas kernel."""

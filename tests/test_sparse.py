@@ -98,3 +98,53 @@ def test_pallas_operator_in_solver(mats):
     r = lsqr(op, b, tol=1e-5, maxit=30)
     res = float(jnp.linalg.norm(b - op.matvec(r.x)) / jnp.linalg.norm(b))
     assert res < 0.5  # makes real progress through the kernel path
+
+
+def test_morton_reordering_preserves_solver_histories():
+    """Morton ray/pixel reordering is a pure relabeling: histories match
+    bit-for-bit-tolerance and the un-permuted solution equals the original."""
+    import jax.numpy as jnp
+    import numpy as np
+    from hybrid_gmres_tpu.ops.ordering import (
+        inverse_perm, morton_perm, reorder_pair)
+    from hybrid_gmres_tpu.problems.ct import ct_mismatched
+    from hybrid_gmres_tpu.solvers.gmres import ba_gmres
+
+    prob = ct_mismatched(n=16, n_angles=24, n_det=24, dense=False)
+    A = prob.A_csr.astype(np.float64)
+    B = prob.B_csr.astype(np.float64)
+    rng = np.random.default_rng(0)
+    b = np.array(prob.b_exact, np.float64)
+    b += 0.05 * np.linalg.norm(b) / np.sqrt(b.size) * rng.standard_normal(b.size)
+    xt = np.asarray(prob.x_true, np.float64)
+
+    ray_perm = morton_perm(24, 24)
+    pix_perm = morton_perm(16, 16)
+    Ap, Bp = reorder_pair(A, B, ray_perm, pix_perm)
+    # permutation matrices applied consistently: Ap = P_r A P_x^T
+    assert np.abs(Ap.toarray() - A.toarray()[ray_perm][:, pix_perm]).max() == 0
+
+    r1 = ba_gmres(jnp.asarray(A.toarray()), jnp.asarray(B.toarray()),
+                  jnp.asarray(b), jnp.asarray(xt), tol=0.0, maxit=10,
+                  lam=1e-2, residual="fused")
+    r2 = ba_gmres(jnp.asarray(Ap.toarray()), jnp.asarray(Bp.toarray()),
+                  jnp.asarray(b[ray_perm]), jnp.asarray(xt[pix_perm]),
+                  tol=0.0, maxit=10, lam=1e-2, residual="fused")
+    np.testing.assert_allclose(np.asarray(r2.res_hist),
+                               np.asarray(r1.res_hist), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(r2.err_hist),
+                               np.asarray(r1.err_hist), rtol=1e-10)
+    x_back = np.asarray(r2.x)[inverse_perm(pix_perm)]
+    np.testing.assert_allclose(x_back, np.asarray(r1.x), rtol=1e-8,
+                               atol=1e-12)
+
+
+def test_morton_perm_is_permutation():
+    from hybrid_gmres_tpu.ops.ordering import morton_perm
+    import numpy as np
+    for nu, nv in [(8, 8), (5, 9), (24, 24)]:
+        p = morton_perm(nu, nv)
+        assert sorted(p.tolist()) == list(range(nu * nv))
+    # power-of-two square: first 4 morton cells = the 2x2 corner tile
+    p = morton_perm(4, 4)
+    assert set(p[:4].tolist()) == {0, 1, 4, 5}
