@@ -6,13 +6,16 @@ Details go to stderr.
 
 Scenario: fan-beam CT (n=64 image -> 4096 px, 180 angles x 180 detectors ->
 m=32400 rays, nnz(A)=3.3M), mismatched back-projector, maxit=100 with full
-per-iteration projected Tikhonov solves and residual/error tracking — the
-same per-iteration work as the reference solver loop
+per-iteration projected Tikhonov solves and TRUE residual/error tracking —
+the same per-iteration quantities as the reference solver loop
 (BAgmres_hybrid_bounds.m:24-40, minus the optional O(n^3) bounds block).
 
-Operators use the Pallas bucketed block-ELL SpMV kernel with bf16 block
-storage + f32 accumulation (measured v5e: 852 it/s vs 402 it/s dense-f32;
-reconstruction error unchanged at 25% data noise: 0.6007 vs 0.6003).
+Fast path (measured v5e, in order of adoption): Pallas bucketed block-ELL
+SpMV with bf16 blocks + f32 accumulation (852 it/s vs 402 dense-f32);
+fused exact residual from stored A q_k images, 2 SpMVs/iter instead of 3
+(-> 1112); Morton ray/pixel ordering, 3.2x smaller panels (-> 1683);
+Cholesky projected solve (-> 1882).  Reconstruction error unchanged at
+25% data noise (0.602 vs 0.600 dense-f32).
 
 Baseline: the reference is single-threaded MATLAB (SURVEY.md §6 — no
 published numbers).  Nominal 10 iterations/s for this problem size on a

@@ -26,7 +26,12 @@ from hybrid_gmres_tpu.ops.linear_operator import (
     as_operator,
 )
 from hybrid_gmres_tpu.problems.onedim import generate_test_problem, shaw, heat, deriv2
-from hybrid_gmres_tpu.solvers.gmres import ab_gmres, ba_gmres
+from hybrid_gmres_tpu.solvers.gmres import (
+    ab_gmres,
+    ab_gmres_restarted,
+    ba_gmres,
+    ba_gmres_restarted,
+)
 from hybrid_gmres_tpu.solvers.rtp import ab_gmres_rtp, ba_gmres_rtp
 from hybrid_gmres_tpu.solvers.lsqr import lsqr, hybrid_lsqr
 from hybrid_gmres_tpu.solvers.lsmr import lsmr, hybrid_lsmr
@@ -44,6 +49,8 @@ __all__ = [
     "heat",
     "deriv2",
     "ab_gmres",
+    "ab_gmres_restarted",
+    "ba_gmres_restarted",
     "ba_gmres",
     "ab_gmres_rtp",
     "ba_gmres_rtp",

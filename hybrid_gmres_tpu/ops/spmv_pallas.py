@@ -233,7 +233,12 @@ class PallasBSROperator(LinearOperator):
 
     def rmatvec(self, u):
         if self.adj is None:
-            raise ValueError("operator built with with_adjoint=False")
+            # No transpose panel stored: apply the forward panel through the
+            # transposed kernel.  Correct and memory-free, but the VMEM
+            # read-modify-write accumulation chain makes it ~25% slower than
+            # a dedicated panel (measured CT n=64) — build with
+            # with_adjoint=True for rmatvec-heavy solvers (GKB).
+            return bucketed_bsr_rmatvec(self.fwd, u, interpret=self.interpret)
         return bucketed_bsr_matvec(self.adj, u, interpret=self.interpret)
 
     def tree_flatten(self):

@@ -1,5 +1,10 @@
 from hybrid_gmres_tpu.solvers.common import GMRESResult, GKBResult
-from hybrid_gmres_tpu.solvers.gmres import ab_gmres, ba_gmres, ba_gmres_restarted
+from hybrid_gmres_tpu.solvers.gmres import (
+    ab_gmres,
+    ab_gmres_restarted,
+    ba_gmres,
+    ba_gmres_restarted,
+)
 from hybrid_gmres_tpu.solvers.rtp import ab_gmres_rtp, ba_gmres_rtp
 from hybrid_gmres_tpu.solvers.lsqr import lsqr, hybrid_lsqr
 from hybrid_gmres_tpu.solvers.lsmr import lsmr, hybrid_lsmr
@@ -9,6 +14,7 @@ __all__ = [
     "GKBResult",
     "ab_gmres",
     "ba_gmres",
+    "ab_gmres_restarted",
     "ba_gmres_restarted",
     "ab_gmres_rtp",
     "ba_gmres_rtp",

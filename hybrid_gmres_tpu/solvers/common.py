@@ -44,6 +44,7 @@ class FusedResidual(NamedTuple):
     rhs_norm: jax.Array       # ||b|| (residual denominator, always vs b)
     img: str = "first"        # which stage's image spans A x ("first"/"second")
     solution_from_image: bool = False  # AB: x = (first images) @ y
+    x_offset: Optional[jax.Array] = None  # x0 added to the image solution
 
 
 class GMRESResult(NamedTuple):
@@ -177,7 +178,7 @@ def gmres_core(
         kdim = k + 1
         y = project_solve(Hn, Qn, t, kdim)
         if residual == "fused" and fused.solution_from_image:
-            xk = S @ y
+            xk = S @ y if fused.x_offset is None else fused.x_offset + S @ y
         else:
             xk = solution_fn(Qn, y)
         if residual == "true":

@@ -82,12 +82,16 @@ def ab_gmres(
     breakdown_tol: float = 0.0,
     gcv_grid=None,
     resume_from: GMRESResult | None = None,
+    x0=None,
     residual: str = "true",
 ) -> GMRESResult:
     """AB-GMRES: Krylov space in m-space on ``M = A B``; ``x = B Q_k y``.
 
     ``lam``: None (non-hybrid LS), scalar (hybrid PTR), or "gcv"
     (per-iteration GCV-optimal lambda over ``gcv_grid``).
+    ``x0``: optional initial iterate (``r0 = b - A x0``, solution
+    ``x = x0 + B Q_k y`` — the restart building block); when resuming with
+    ``resume_from=``, pass the same ``x0`` again.
     ``residual="fused"`` stores the per-step images ``B q_k`` and
     ``A (B q_k)`` so both the per-iteration solution and TRUE residual are
     small matmuls — 2 SpMVs/iteration instead of 4, identical numbers.
@@ -99,16 +103,21 @@ def ab_gmres(
     maxit = int(maxit)
 
     krylov_mv = lambda q: A.matvec(B.matvec(q))
-    solution_fn = lambda Q, y: B.matvec(Q[:, :maxit] @ y)
+    if x0 is None:
+        r0 = b
+        solution_fn = lambda Q, y: B.matvec(Q[:, :maxit] @ y)
+    else:
+        r0 = b - A.matvec(x0)
+        solution_fn = lambda Q, y: x0 + B.matvec(Q[:, :maxit] @ y)
     fused = (
-        FusedResidual(first_mv=B.matvec, second_mv=A.matvec, rhs=b,
+        FusedResidual(first_mv=B.matvec, second_mv=A.matvec, rhs=r0,
                       rhs_norm=jnp.linalg.norm(b), img="second",
-                      solution_from_image=True)
+                      solution_from_image=True, x_offset=x0)
         if residual == "fused" else None
     )
     return gmres_core(
         krylov_mv=krylov_mv,
-        r0=b,
+        r0=r0,
         project_solve=_make_project_solve(lam, A.shape[0], gcv_grid),
         solution_fn=solution_fn,
         residual_fn=rel_residual_fn(A, b),
@@ -119,6 +128,7 @@ def ab_gmres(
         breakdown_tol=breakdown_tol,
         history=history,
         resume_from=resume_from,
+        x_init=x0,
         residual=residual,
         fused=fused,
     )
@@ -188,24 +198,10 @@ def ba_gmres(
     )
 
 
-def ba_gmres_restarted(
-    A,
-    B,
-    b,
-    x_true=None,
-    tol: float = 1e-6,
-    restart: int = 20,
-    max_restarts: int = 10,
-    lam=None,
-) -> GMRESResult:
-    """Restarted BA-GMRES(restart) — the MATLAB ``gmres(M, b, restart, ...)``
-    surface (the reference's phantom driver calls the builtin with
-    restart=[] i.e. none, run_2D_phantom.m:121; the restarted form is the
-    memory-bounded variant for large problems).
-
-    Outer restarts chain ``x0``; histories are concatenated so the combined
-    result reads like a single run of ``restart * n_outer`` iterations.
-    """
+def _restarted(inner, A, B, b, x_true, tol, restart, max_restarts, lam,
+               residual) -> GMRESResult:
+    """Outer restart loop shared by AB/BA: chain ``x0``, concatenate
+    histories so the combined result reads like one long run."""
     import numpy as np
 
     x0 = None
@@ -213,8 +209,8 @@ def ba_gmres_restarted(
     total_iters = 0
     last = None
     for _ in range(int(max_restarts)):
-        r = ba_gmres(A, B, b, x_true, tol=tol, maxit=int(restart), lam=lam,
-                     x0=x0)
+        r = inner(A, B, b, x_true, tol=tol, maxit=int(restart), lam=lam,
+                  x0=x0, residual=residual)
         k = int(r.niters)
         res_hists.append(np.asarray(r.res_hist)[:k])
         err_hists.append(np.asarray(r.err_hist)[:k])
@@ -237,3 +233,39 @@ def ba_gmres_restarted(
         H=last.H,
         beta=last.beta,
     )
+
+
+def ba_gmres_restarted(
+    A,
+    B,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    restart: int = 20,
+    max_restarts: int = 10,
+    lam=None,
+    residual: str = "true",
+) -> GMRESResult:
+    """Restarted BA-GMRES(restart) — the MATLAB ``gmres(M, b, restart, ...)``
+    surface (the reference's phantom driver calls the builtin with
+    restart=[] i.e. none, run_2D_phantom.m:121; the restarted form is the
+    memory-bounded variant for large problems)."""
+    return _restarted(ba_gmres, A, B, b, x_true, tol, restart, max_restarts,
+                      lam, residual)
+
+
+def ab_gmres_restarted(
+    A,
+    B,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    restart: int = 20,
+    max_restarts: int = 10,
+    lam=None,
+    residual: str = "true",
+) -> GMRESResult:
+    """Restarted AB-GMRES(restart): Krylov in m-space, warm-started via
+    ``r0 = b - A x0``, ``x = x0 + B Q_k y`` per cycle."""
+    return _restarted(ab_gmres, A, B, b, x_true, tol, restart, max_restarts,
+                      lam, residual)

@@ -180,3 +180,26 @@ def test_residual_fused_rejects_unsupported_combos(prob):
     A, B, b, x_true = prob
     with pytest.raises(ValueError):
         ba_gmres(A, B, b, x_true, maxit=4, residual="fused", history=False)
+
+
+def test_ab_x0_warm_start_and_restart(prob):
+    A, B, b, x_true = prob
+    from hybrid_gmres_tpu import ab_gmres_restarted
+    # x0 warm start: starting from the 4-step solution must reproduce a
+    # residual no worse than cold start at the same total budget
+    r4 = ab_gmres(A, B, b, x_true, tol=0.0, maxit=4, lam=1e-3)
+    rw = ab_gmres(A, B, b, x_true, tol=0.0, maxit=4, lam=1e-3, x0=r4.x)
+    assert float(rw.res_hist[0]) <= float(r4.res_hist[3]) * 1.5
+    # fused residual agrees with true under x0
+    rwf = ab_gmres(A, B, b, x_true, tol=0.0, maxit=4, lam=1e-3, x0=r4.x,
+                   residual="fused")
+    np.testing.assert_allclose(np.asarray(rwf.res_hist),
+                               np.asarray(rw.res_hist), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(rwf.x), np.asarray(rw.x),
+                               rtol=1e-8, atol=1e-12)
+    # restarted wrapper terminates with concatenated histories
+    rr = ab_gmres_restarted(A, A.T, b, x_true, tol=1e-10, restart=6,
+                            max_restarts=4)
+    k = int(rr.niters)
+    assert k >= 6
+    assert np.all(np.isfinite(np.asarray(rr.res_hist)[:k]))
