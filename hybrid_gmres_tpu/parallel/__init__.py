@@ -9,6 +9,11 @@ from hybrid_gmres_tpu.parallel.sharded_full import (
     ba_gmres_sharded_basis,
     ab_gmres_sharded_basis,
 )
+from hybrid_gmres_tpu.parallel.sharded_pallas import (
+    ShardedBlockELL,
+    ba_gmres_sharded_pallas,
+    shard_block_ell,
+)
 from hybrid_gmres_tpu.parallel.multihost import initialize_multihost
 
 __all__ = [
@@ -19,5 +24,8 @@ __all__ = [
     "ba_gmres_sharded",
     "ba_gmres_sharded_basis",
     "ab_gmres_sharded_basis",
+    "ShardedBlockELL",
+    "ba_gmres_sharded_pallas",
+    "shard_block_ell",
     "initialize_multihost",
 ]

@@ -44,8 +44,18 @@ def ba_gmres_sharded_basis(
     lam=None,
     mesh: Mesh | None = None,
     axis: str = "rows",
+    residual: str = "true",
 ) -> GMRESResult:
-    """BA-GMRES with a row-sharded Krylov basis over a 1-D mesh."""
+    """BA-GMRES with a row-sharded Krylov basis over a 1-D mesh.
+
+    ``residual="fused"`` keeps the per-step images ``(A q_k)`` (already
+    computed by the Krylov matvec) in an m-sharded basis and forms the TRUE
+    residual as ``||b - IMG y||`` via one scalar psum — dropping BOTH the
+    per-iteration residual matmul against A and the all_gather of the
+    n-vector iterate (identical values up to float reassociation).
+    """
+    if residual not in ("true", "fused"):
+        raise ValueError("residual must be 'true' or 'fused'")
     if mesh is None:
         from hybrid_gmres_tpu.parallel.mesh import make_mesh
 
@@ -76,10 +86,11 @@ def ba_gmres_sharded_basis(
             return jax.lax.dynamic_slice(v_full, (my * nloc,), (nloc,))
 
         def ba_mv_from_xfull(x_full):
-            """w_loc = (B A x)[my shard], one psum of the n-vector."""
+            """(w_loc, y_loc): the BA shard product and the m-space image
+            A x (kept for the fused residual), one psum of the n-vector."""
             y_loc = A_loc @ x_full
             w_full = jax.lax.psum(B_loc @ y_loc, axis)
-            return my_slice(w_full)
+            return my_slice(w_full), y_loc
 
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
@@ -102,11 +113,16 @@ def ba_gmres_sharded_basis(
                 H, t, lam, kdim
             )
 
+        IMG0 = (jnp.zeros((m // p, maxit), dtype=dtype)
+                if residual == "fused" else None)
+
         def body(carry, k):
-            Q, H, x, active, niters = carry
+            Q, H, x, active, niters, IMG = carry
             q_loc = Q[:, k]
             q_full = jax.lax.all_gather(q_loc, axis, tiled=True)
-            w_loc = ba_mv_from_xfull(q_full)
+            w_loc, img_loc = ba_mv_from_xfull(q_full)
+            if residual == "fused":
+                IMG = IMG.at[:, k].set(img_loc)
             # CGS2: two passes, each ONE fused psum of all coefficients
             c1 = jax.lax.psum(Q.T @ w_loc, axis)
             w_loc = w_loc - Q @ c1
@@ -127,9 +143,13 @@ def ba_gmres_sharded_basis(
             kdim = k + 1
             y = project_solve(Hn, kdim)        # replicated k x k solve
             xk_loc = Qn[:, :maxit] @ y
-            xk_full = jax.lax.all_gather(xk_loc, axis, tiled=True)
-            r_loc = b_loc - A_loc @ xk_full
-            res_k = jnp.sqrt(pdot(r_loc, r_loc)) / b_norm
+            if residual == "fused":
+                r_loc = b_loc - IMG @ y        # m-sharded; no A matmul,
+                res_k = pnorm(r_loc) / b_norm  # no all_gather of the iterate
+            else:
+                xk_full = jax.lax.all_gather(xk_loc, axis, tiled=True)
+                r_loc = b_loc - A_loc @ xk_full
+                res_k = jnp.sqrt(pdot(r_loc, r_loc)) / b_norm
             d_loc = xk_loc - xt_loc
             err_k = jnp.sqrt(pdot(d_loc, d_loc)) / xt_norm
 
@@ -141,11 +161,11 @@ def ba_gmres_sharded_basis(
             niters = jnp.where(adopt, kdim, niters)
             stop = breakdown | (res_k <= tol)
             active = active & ~stop
-            return (Qn, Hn, x, active, niters), (res_rec, err_rec)
+            return (Qn, Hn, x, active, niters, IMG), (res_rec, err_rec)
 
-        (Q, H, x, _, niters), (res_hist, err_hist) = jax.lax.scan(
+        (Q, H, x, _, niters, _), (res_hist, err_hist) = jax.lax.scan(
             body,
-            (Q0, H0, x0, jnp.bool_(True), jnp.int32(0)),
+            (Q0, H0, x0, jnp.bool_(True), jnp.int32(0), IMG0),
             jnp.arange(maxit, dtype=jnp.int32),
         )
         return x, err_hist, res_hist, niters, Q, H, beta
@@ -173,6 +193,7 @@ def ab_gmres_sharded_basis(
     lam=None,
     mesh: Mesh | None = None,
     axis: str = "rows",
+    residual: str = "true",
 ) -> GMRESResult:
     """AB-GMRES with the m-space Krylov basis sharded over the ray axis.
 
@@ -181,7 +202,14 @@ def ab_gmres_sharded_basis(
     for the image intermediate x = B q, a local A-row matmul, one fused
     psum(k+1) per CGS2 pass, scalar psums for norms.  The solution back-map
     ``x = B (Q_k y)`` is one more psum(n).
+
+    ``residual="fused"`` stores the replicated image basis ``S_k = B q_k``
+    and the m-sharded raw images ``W_k = A B q_k``: the solution becomes
+    ``x = S y`` (no back-map psum) and the TRUE residual ``||b - W y||``
+    (no A matmul) — identical values up to float reassociation.
     """
+    if residual not in ("true", "fused"):
+        raise ValueError("residual must be 'true' or 'fused'")
     if mesh is None:
         from hybrid_gmres_tpu.parallel.mesh import make_mesh
 
@@ -227,11 +255,20 @@ def ab_gmres_sharded_basis(
                 H, t, lam, kdim
             )
 
+        if residual == "fused":
+            S0 = jnp.zeros((n, maxit), dtype=dtype)
+            W0 = jnp.zeros((mloc, maxit), dtype=dtype)
+        else:
+            S0, W0 = None, None
+
         def body(carry, k):
-            Q, H, x, active, niters = carry
+            Q, H, x, active, niters, S, W = carry
             q_loc = Q[:, k]
             ximg = back_map(q_loc)            # (n,) replicated
             w_loc = A_loc @ ximg              # local rows
+            if residual == "fused":
+                S = S.at[:, k].set(ximg)
+                W = W.at[:, k].set(w_loc)
             c1 = jax.lax.psum(Q.T @ w_loc, axis)
             w_loc = w_loc - Q @ c1
             c2 = jax.lax.psum(Q.T @ w_loc, axis)
@@ -250,10 +287,15 @@ def ab_gmres_sharded_basis(
 
             kdim = k + 1
             y = project_solve(Hn, kdim)
-            z_loc = Qn[:, :maxit] @ y
-            xk = back_map(z_loc)              # x = B (Q y), replicated (n,)
-            r_loc = b_loc - A_loc @ xk
-            res_k = jnp.sqrt(pdot(r_loc, r_loc)) / b_norm
+            if residual == "fused":
+                xk = S @ y                    # x = (B Q) y, replicated (n,)
+                r_loc = b_loc - W @ y         # no A matmul, no back-map psum
+                res_k = pnorm(r_loc) / b_norm
+            else:
+                z_loc = Qn[:, :maxit] @ y
+                xk = back_map(z_loc)          # x = B (Q y), replicated (n,)
+                r_loc = b_loc - A_loc @ xk
+                res_k = jnp.sqrt(pdot(r_loc, r_loc)) / b_norm
             err_k = jnp.linalg.norm(xk - xt_full) / xt_norm
 
             adopt = active  # lucky breakdown: the projected solve is exact
@@ -264,11 +306,11 @@ def ab_gmres_sharded_basis(
             niters = jnp.where(adopt, kdim, niters)
             stop = breakdown | (res_k <= tol)
             active = active & ~stop
-            return (Qn, Hn, x, active, niters), (res_rec, err_rec)
+            return (Qn, Hn, x, active, niters, S, W), (res_rec, err_rec)
 
-        (Q, H, x, _, niters), (res_hist, err_hist) = jax.lax.scan(
+        (Q, H, x, _, niters, _, _), (res_hist, err_hist) = jax.lax.scan(
             body,
-            (Q0, H0, x0, jnp.bool_(True), jnp.int32(0)),
+            (Q0, H0, x0, jnp.bool_(True), jnp.int32(0), S0, W0),
             jnp.arange(maxit, dtype=jnp.int32),
         )
         return x, err_hist, res_hist, niters, Q, H, beta

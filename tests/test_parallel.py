@@ -152,3 +152,58 @@ def test_initialize_multihost_noop_single_host():
     from hybrid_gmres_tpu.parallel import initialize_multihost
 
     assert initialize_multihost() is False
+
+
+@pytest.mark.parametrize("kind", ["ba", "ab"])
+def test_sharded_basis_fused_residual_matches_true(prob, kind):
+    """fused residual (stored image bases, fewer collectives) == true."""
+    from hybrid_gmres_tpu.parallel import (
+        ab_gmres_sharded_basis, ba_gmres_sharded_basis)
+
+    A, B, b, x_true = prob
+    mesh = make_mesh()
+    A_s, B_s, b_s = shard_problem(A, B, b, mesh)
+    f = ba_gmres_sharded_basis if kind == "ba" else ab_gmres_sharded_basis
+    rt = f(A_s, B_s, b_s, x_true, tol=0.0, maxit=12, lam=1e-3, mesh=mesh)
+    rf = f(A_s, B_s, b_s, x_true, tol=0.0, maxit=12, lam=1e-3, mesh=mesh,
+           residual="fused")
+    np.testing.assert_allclose(np.asarray(rf.res_hist),
+                               np.asarray(rt.res_hist), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(rf.err_hist),
+                               np.asarray(rt.err_hist), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(rf.x), np.asarray(rt.x),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_pallas_solver_matches_dense(prob):
+    """Per-shard Pallas block-ELL SpMV (interpret mode) == dense sharded ==
+    single-device, on the virtual 8-device mesh."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_pallas, shard_block_ell)
+
+    rng = np.random.default_rng(1)
+    m, n = 64, 32
+    Ad = (rng.standard_normal((m, n)) * (rng.random((m, n)) < 0.3)
+          ).astype(np.float32)
+    Bd = (Ad.T + 1e-3 * rng.standard_normal((n, m))).astype(np.float32)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = (Ad @ x_true + 0.01 * rng.standard_normal(m)).astype(np.float32)
+
+    mesh = make_mesh()
+    A_bell = shard_block_ell(sp.csr_matrix(Ad), mesh.devices.size)
+    BT_bell = shard_block_ell(sp.csr_matrix(Bd.T), mesh.devices.size)
+    r_sh = ba_gmres_sharded_pallas(
+        A_bell, BT_bell, jnp.asarray(b), jnp.asarray(x_true),
+        tol=0.0, maxit=8, lam=1e-3, mesh=mesh, interpret=True)
+    r_ref = ba_gmres(jnp.asarray(Ad), jnp.asarray(Bd), jnp.asarray(b),
+                     jnp.asarray(x_true), tol=0.0, maxit=8, lam=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.res_hist),
+        np.asarray(r_ref.res_hist, dtype=np.float32), rtol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.err_hist),
+        np.asarray(r_ref.err_hist, dtype=np.float32), rtol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.x), np.asarray(r_ref.x, dtype=np.float32),
+        rtol=1e-3, atol=1e-5)
