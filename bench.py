@@ -61,10 +61,15 @@ def main():
 
     t0 = time.time()
     if on_tpu:
+        # row_group tuned per operator: the Morton projector averages ~8
+        # blocks/group (per-step overhead bound -> 32); the back-projector
+        # ~50 (padding bound -> 8).
         A_op = PallasBSROperator.from_csr(A_csr, dtype=jnp.bfloat16,
-                                          n_buckets=8, with_adjoint=False)
+                                          n_buckets=8, with_adjoint=False,
+                                          row_group=32)
         B_op = PallasBSROperator.from_csr(B_csr, dtype=jnp.bfloat16,
-                                          n_buckets=8, with_adjoint=False)
+                                          n_buckets=8, with_adjoint=False,
+                                          row_group=8)
         print(f"[bench] block-ELL conversion: {time.time()-t0:.1f}s  "
               f"A panel {A_op.fwd.nbytes/1e6:.0f}MB, B panel "
               f"{B_op.fwd.nbytes/1e6:.0f}MB (dense would be "

@@ -119,6 +119,7 @@ class BucketedBlockELL:
     inv_perm: jax.Array       # (nbr_total,) int32
     shape: tuple              # logical (m, n)
     ncb: int                  # number of block columns (padded)
+    row_group: int = 8        # block-rows per Pallas grid step (static)
 
     @property
     def block_shape(self):
@@ -149,11 +150,11 @@ class BucketedBlockELL:
 
     def tree_flatten(self):
         children = (tuple(self.buckets), self.inv_perm)
-        return children, (self.shape, self.ncb)
+        return children, (self.shape, self.ncb, self.row_group)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], aux[0], aux[1], aux[2])
 
 
 def bucketed_block_ell_from_csr(csr, block=(8, 128), dtype=np.float32,
@@ -212,7 +213,8 @@ def bucketed_block_ell_from_csr(csr, block=(8, 128), dtype=np.float32,
     valid = sorted_rows >= 0
     inv_perm[sorted_rows[valid]] = np.nonzero(valid)[0].astype(np.int32)
     return BucketedBlockELL(
-        tuple(buckets), jnp.asarray(inv_perm), (m, n), n_pad // bc
+        tuple(buckets), jnp.asarray(inv_perm), (m, n), n_pad // bc,
+        int(row_group),
     )
 
 

@@ -43,10 +43,10 @@ from hybrid_gmres_tpu.ops.sparse import (
 _ROW_GROUP = 8  # block-rows per grid step
 
 
-def _bucket_matvec(bcols_flat, blocks, x2d, interpret=False):
+def _bucket_matvec(bcols_flat, blocks, x2d, interpret=False, row_group=None):
     """One bucket: blocks (nbr, maxb, 8, 128) -> y (nbr*8, 1)."""
     nbr, maxb, br, bc = blocks.shape
-    G = _ROW_GROUP
+    G = _ROW_GROUP if row_group is None else row_group
     assert nbr % G == 0
 
     def kernel(bcols_ref, blocks_ref, x2d_ref, out_ref):
@@ -83,7 +83,8 @@ def _bucket_matvec(bcols_flat, blocks, x2d, interpret=False):
     )(bcols_flat, blocks, x2d)
 
 
-def _bucket_rmatvec(bcols_flat, blocks, u_rows, ncb, interpret=False):
+def _bucket_rmatvec(bcols_flat, blocks, u_rows, ncb, interpret=False,
+                    row_group=None):
     """One bucket, transposed: y (ncb, bc) += sum_j blocks[r,j]^T u_rows[r].
 
     The whole output vector (ncb, 128) stays resident in VMEM across every
@@ -93,7 +94,7 @@ def _bucket_rmatvec(bcols_flat, blocks, u_rows, ncb, interpret=False):
     the forward kernel's dynamic load.
     """
     nbr, maxb, br, bc = blocks.shape
-    G = _ROW_GROUP
+    G = _ROW_GROUP if row_group is None else row_group
     assert nbr % G == 0
 
     def kernel(bcols_ref, blocks_ref, u_ref, out_ref):
@@ -164,7 +165,7 @@ def bucketed_bsr_rmatvec(bell: BucketedBlockELL, u, interpret=False):
         nbr_b = blocks.shape[0]
         y2d = y2d + _bucket_rmatvec(
             bcols.reshape(-1), blocks, u_sorted[off:off + nbr_b],
-            bell.ncb, interpret=interpret)
+            bell.ncb, interpret=interpret, row_group=bell.row_group)
         off += nbr_b
     return y2d.reshape(-1)[:n].astype(u.dtype)
 
@@ -179,7 +180,8 @@ def bucketed_bsr_matvec(bell: BucketedBlockELL, x, interpret=False):
         x.astype(jnp.float32)
     ).reshape(bell.ncb, bc)
     ys = [
-        _bucket_matvec(bcols.reshape(-1), blocks, x2d, interpret=interpret)
+        _bucket_matvec(bcols.reshape(-1), blocks, x2d, interpret=interpret,
+                       row_group=bell.row_group)
         for blocks, bcols in bell.buckets
     ]
     y_sorted = jnp.concatenate(ys, axis=0).reshape(-1, br)  # (nbr_total, br)
@@ -204,17 +206,22 @@ class PallasBSROperator(LinearOperator):
     @classmethod
     def from_csr(cls, csr, block=(8, 128), dtype=jnp.float32,
                  n_buckets: int = 4, with_adjoint: bool = True,
-                 interpret: bool = False):
+                 interpret: bool = False, row_group: int = _ROW_GROUP):
+        """``row_group``: block-rows per Pallas grid step.  Tunable per
+        operator — panels with FEW blocks per group (e.g. the Morton-ordered
+        CT projector, ~8) amortize per-step overhead better at 32; densely
+        filled panels (back-projector, ~50/group) prefer 8 (measured v5e:
+        A 201 -> 141 us at G=32; B best at 8)."""
         import numpy as np
 
         fwd = bucketed_block_ell_from_csr(
             csr, block=block, dtype=np.dtype(dtype), n_buckets=n_buckets,
-            row_group=_ROW_GROUP,
+            row_group=row_group,
         )
         adj = (
             bucketed_block_ell_from_csr(
                 csr.T.tocsr(), block=block, dtype=np.dtype(dtype),
-                n_buckets=n_buckets, row_group=_ROW_GROUP,
+                n_buckets=n_buckets, row_group=row_group,
             )
             if with_adjoint else None
         )
