@@ -43,33 +43,25 @@ def main():
     maxit = 100
     on_tpu = jax.default_backend() not in ("cpu",)
 
-    from hybrid_gmres_tpu.ops.ordering import morton_perm, reorder_pair
-
     t0 = time.time()
     prob = ct_mismatched(n=64, n_angles=180, n_det=180, dense=False)
-    # Morton-order both spaces (rays by (angle, det), pixels by (x, y)):
-    # identical math — same permutation on A rows / B cols and A cols /
-    # B rows, norms invariant — but 3.2x fewer (8, 128) blocks (352 ->
-    # 111MB of bf16 panels), and the SpMV kernel is panel-bandwidth-bound.
-    ray_perm = morton_perm(180, 180)
-    pix_perm = morton_perm(64, 64)
-    A_csr, B_csr = reorder_pair(
-        prob.A_csr.astype(np.float32), prob.B_csr.astype(np.float32),
-        ray_perm, pix_perm)
+    A_csr = prob.A_csr.astype(np.float32)
+    B_csr = prob.B_csr.astype(np.float32)
     print(f"[bench] CT assembly: {time.time()-t0:.1f}s  A={A_csr.shape} "
           f"nnz(A)={A_csr.nnz} nnz(B)={B_csr.nnz}", file=sys.stderr)
 
     t0 = time.time()
     if on_tpu:
-        # row_group tuned per operator: the Morton projector averages ~8
-        # blocks/group (per-step overhead bound -> 32); the back-projector
-        # ~50 (padding bound -> 8).
-        A_op = PallasBSROperator.from_csr(A_csr, dtype=jnp.bfloat16,
-                                          n_buckets=8, with_adjoint=False,
-                                          row_group=32)
-        B_op = PallasBSROperator.from_csr(B_csr, dtype=jnp.bfloat16,
-                                          n_buckets=8, with_adjoint=False,
-                                          row_group=8)
+        # Production TPU path: Morton-ordered rays/pixels (3.2x smaller
+        # bf16 panels — a pure relabeling, ops/ordering.py) + per-operator
+        # row-group tuning, packaged in problems.ct.ct_tpu_operators.
+        from hybrid_gmres_tpu.problems.ct import ct_tpu_operators
+
+        A_op, B_op, _, x_true, ray_perm, pix_perm = ct_tpu_operators(
+            prob, dtype=jnp.bfloat16, n_buckets=8)
+        # keep the noise stream in ORIGINAL ray order (comparable across
+        # orderings), then relabel the noisy sinogram
+        b_exact = prob.b_exact
         print(f"[bench] block-ELL conversion: {time.time()-t0:.1f}s  "
               f"A panel {A_op.fwd.nbytes/1e6:.0f}MB, B panel "
               f"{B_op.fwd.nbytes/1e6:.0f}MB (dense would be "
@@ -82,13 +74,16 @@ def main():
 
         A_op = DenseOperator(jnp.asarray(A_csr.toarray()))
         B_op = DenseOperator(jnp.asarray(B_csr.toarray()))
+        b_exact, x_true = prob.b_exact, prob.x_true
         print("[bench] CPU backend: using dense operators", file=sys.stderr)
 
     rng = np.random.default_rng(0)
-    e = rng.standard_normal(prob.b_exact.shape)
-    e = e / np.linalg.norm(e) * 0.25 * float(jnp.linalg.norm(prob.b_exact))
-    b = (prob.b_exact + jnp.asarray(e)).astype(jnp.float32)[ray_perm]
-    x_true = prob.x_true.astype(jnp.float32)[pix_perm]
+    e = rng.standard_normal(b_exact.shape)
+    e = e / np.linalg.norm(e) * 0.25 * float(jnp.linalg.norm(b_exact))
+    b = (jnp.asarray(b_exact) + jnp.asarray(e)).astype(jnp.float32)
+    if on_tpu:
+        b = b[ray_perm]
+    x_true = jnp.asarray(x_true).astype(jnp.float32)
 
     @jax.jit
     def _solve(A, B, bb, xt):

@@ -253,3 +253,43 @@ def ct_mismatched(
         B_csr=B_csr,
         geom=geom,
     )
+
+
+def ct_tpu_operators(
+    prob: CTProblem,
+    dtype="bfloat16",
+    n_buckets: int = 8,
+    with_adjoint: bool = False,
+    row_group_A: int = 32,
+    row_group_B: int = 8,
+):
+    """Production TPU path for a CT problem: Morton-ordered Pallas operators.
+
+    Returns ``(A_op, B_op, b_exact_p, x_true_p, ray_perm, pix_perm)``:
+    rays z-ordered by (angle, det) and pixels by (x, y) — a pure relabeling
+    (see ``ops/ordering.py``) that shrinks the block-ELL panels ~3.2x on CT
+    n=64 — with the pair packed as :class:`PallasBSROperator` at the
+    measured-optimal per-operator row groups.  Permute any externally
+    supplied sinogram with ``ray_perm`` and un-permute solutions with
+    ``inverse_perm(pix_perm)``.
+    """
+    import jax.numpy as _jnp
+
+    from hybrid_gmres_tpu.ops.ordering import morton_perm, reorder_pair
+    from hybrid_gmres_tpu.ops.spmv_pallas import PallasBSROperator
+
+    g = prob.geom
+    ray_perm = morton_perm(g.n_angles, g.n_det)
+    pix_perm = morton_perm(g.n, g.n)
+    A_csr, B_csr = reorder_pair(
+        prob.A_csr.astype(np.float32), prob.B_csr.astype(np.float32),
+        ray_perm, pix_perm)
+    dt = _jnp.dtype(dtype)
+    A_op = PallasBSROperator.from_csr(
+        A_csr, dtype=dt, n_buckets=n_buckets, with_adjoint=with_adjoint,
+        row_group=row_group_A)
+    B_op = PallasBSROperator.from_csr(
+        B_csr, dtype=dt, n_buckets=n_buckets, with_adjoint=with_adjoint,
+        row_group=row_group_B)
+    return (A_op, B_op, prob.b_exact[ray_perm], prob.x_true[pix_perm],
+            ray_perm, pix_perm)

@@ -5,6 +5,7 @@ from hybrid_gmres_tpu.reg.gcv import (
     gcv_lambda,
     minimize_scalar_bounded,
 )
+from hybrid_gmres_tpu.reg.discrepancy import discrepancy_lambda
 from hybrid_gmres_tpu.reg.lcurve import lcurve_sweep
 
 __all__ = [
@@ -13,5 +14,6 @@ __all__ = [
     "gcv_surface",
     "gcv_lambda",
     "minimize_scalar_bounded",
+    "discrepancy_lambda",
     "lcurve_sweep",
 ]

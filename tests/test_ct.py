@@ -88,3 +88,31 @@ def test_geometry_rays_cover_detector():
     for a in range(4):
         center = a * 12 + 6
         assert row_sums[center] > 0
+
+
+def test_ct_tpu_operators_matvec_parity():
+    """The packaged TPU path (Morton perms + Pallas operators) applies the
+    same linear maps as the dense reordered pair (interpret mode on CPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hybrid_gmres_tpu.problems.ct import ct_mismatched, ct_tpu_operators
+    from hybrid_gmres_tpu.ops.ordering import reorder_pair
+
+    prob = ct_mismatched(n=16, n_angles=24, n_det=24, dense=False)
+    A_op, B_op, b_p, x_p, rperm, pperm = ct_tpu_operators(
+        prob, dtype="float32", n_buckets=2)
+    A_op.interpret = B_op.interpret = True
+    Ad, Bd = reorder_pair(prob.A_csr.astype(np.float32),
+                          prob.B_csr.astype(np.float32), rperm, pperm)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(Ad.shape[1]).astype(np.float32))
+    u = jnp.asarray(rng.standard_normal(Ad.shape[0]).astype(np.float32))
+    ax_ref = Ad @ np.asarray(x)
+    bu_ref = Bd @ np.asarray(u)
+    assert np.abs(np.asarray(A_op.matvec(x)) - ax_ref).max() < 1e-4 * (
+        1 + np.abs(ax_ref).max())
+    assert np.abs(np.asarray(B_op.matvec(u)) - bu_ref).max() < 1e-4 * (
+        1 + np.abs(bu_ref).max())
+    # permuted data vectors really are the originals relabeled
+    assert np.allclose(np.asarray(b_p), np.asarray(prob.b_exact)[rperm])
+    assert np.allclose(np.asarray(x_p), np.asarray(prob.x_true)[pperm])

@@ -95,3 +95,33 @@ def test_gcv_lambda_within_bounds(setup):
         lam, val = gcv_lambda(typ, A, B, b, k_gcv=20)
         assert 1e-9 <= lam <= 1e-1
         assert np.isfinite(val)
+
+
+def test_discrepancy_principle_selects_reasonable_lambda():
+    """DP with the true noise norm: residual at the selected lambda sits at
+    the tau*delta crossing and the error is near the oracle optimum."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hybrid_gmres_tpu import ba_gmres, generate_test_problem
+    from hybrid_gmres_tpu.problems import add_noise
+    from hybrid_gmres_tpu.reg import discrepancy_lambda, lcurve_sweep
+
+    A, b_exact, x_true = generate_test_problem("shaw", 32)
+    b, e = add_noise(b_exact, 1e-2, seed=0)
+    delta = float(jnp.linalg.norm(e))
+    grid = np.logspace(-9, 0, 60)
+    for variant in ("ab", "ba"):
+        lam, info = discrepancy_lambda(variant, A, A.T, b, delta, tau=1.02,
+                                       k=20, lam_grid=grid)
+        lam = float(lam)
+        assert grid[0] <= lam <= grid[-1]
+        # residual at the crossing obeys the bound
+        idx = int(np.argmin(np.abs(np.asarray(info["lam_grid"]) - lam)))
+        assert float(info["res"][idx]) <= 1.02 * delta * (1 + 1e-6)
+    # error within 3x of the oracle-optimal error over the same grid
+    lam_ba, _ = discrepancy_lambda("ba", A, A.T, b, delta, k=20,
+                                   lam_grid=grid)
+    sweep = lcurve_sweep("ba", A, A.T, b, x_true, grid, tol=0.0, maxit=20)
+    r = ba_gmres(A, A.T, b, x_true, tol=0.0, maxit=20, lam=float(lam_ba))
+    err_dp = float(r.err_hist[int(r.niters) - 1])
+    assert err_dp <= 3.0 * float(sweep.err_min)
