@@ -148,3 +148,40 @@ def test_morton_perm_is_permutation():
     # power-of-two square: first 4 morton cells = the 2x2 corner tile
     p = morton_perm(4, 4)
     assert set(p[:4].tolist()) == {0, 1, 4, 5}
+
+
+def test_pallas_kernel_int8(mats):
+    """int8 per-row-quantized panels: A ~= diag(s) Q with the f32 scales
+    applied outside the kernel.  Half bf16's panel bytes; ~0.4% matvec error
+    on uniform random data (the CT operator measures ~4e-3)."""
+    A, x, u = mats
+    op = PallasBSROperator.from_csr(A, dtype=jnp.int8, interpret=True,
+                                    n_buckets=2)
+    assert op.dtype == jnp.int8
+    assert op.fwd_scale is not None and op.fwd_scale.shape == (A.shape[0],)
+    y = np.asarray(op.matvec(jnp.asarray(x, dtype=jnp.float32)))
+    ref = A @ x
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-2
+    # dedicated transpose panel
+    yt = np.asarray(op.rmatvec(jnp.asarray(u, dtype=jnp.float32)))
+    reft = A.T @ u
+    assert np.linalg.norm(yt - reft) / np.linalg.norm(reft) < 1e-2
+    # transposed-kernel fallback (no adjoint panel): u is pre-scaled by s
+    op2 = PallasBSROperator.from_csr(A, dtype=jnp.int8, interpret=True,
+                                     n_buckets=2, with_adjoint=False)
+    yt2 = np.asarray(op2.rmatvec(jnp.asarray(u, dtype=jnp.float32)))
+    assert np.linalg.norm(yt2 - reft) / np.linalg.norm(reft) < 1e-2
+
+
+def test_int8_quantization_rowwise_exact_for_small_ints():
+    """Rows whose entries are already small multiples of max/127 quantize
+    exactly (rint hits integers) — the scales round-trip."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
+
+    A = sp.csr_matrix(np.array([[127.0, -64.0, 1.0], [0.0, 0.0, 0.0],
+                                [2.0, 2.0, -2.0]]))
+    q, s = _row_quantize_csr(A)
+    np.testing.assert_allclose(s, [1.0, 1.0, 2.0 / 127.0])
+    dense = (q.toarray() * s[:, None])
+    np.testing.assert_allclose(dense, A.toarray(), atol=1e-12)
