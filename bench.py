@@ -38,6 +38,16 @@ import numpy as np
 
 BASELINE_ITERS_PER_SEC = 10.0
 
+# Quality gate (VERDICT r1 weak#1): the scientifically meaningful number for
+# this semi-convergent problem is the MIN-over-k relative error
+# (run_2D_phantom.m:64-75).  Stored f32 reference value for this exact
+# scenario (CT n=64, 180x180, 25% noise, lam=1e-2, seed 0): 0.4328, measured
+# with exact dense f32 operators on CPU.  The fast path (int8/bf16/Morton)
+# must stay within 3% of it or the bench FAILS — a perf change that degrades
+# the reconstruction cannot silently ship.
+MIN_ERR_F32_REFERENCE = 0.4328
+MIN_ERR_TOLERANCE = 1.03
+
 
 def main():
     import jax
@@ -113,16 +123,29 @@ def main():
     dt = min(times)
     iters_per_sec = maxit / dt
     err = float(r.err_hist[int(r.niters) - 1])
+    min_err = float(np.nanmin(np.asarray(r.err_hist)))
     nnz_per_sec = 2.0 * (A_csr.nnz + B_csr.nnz) * iters_per_sec
     print(f"[bench] {maxit} iters in {dt:.3f}s -> {iters_per_sec:.1f} it/s; "
-          f"final rel-err {err:.3f}; nnz/s {nnz_per_sec:.3e}",
-          file=sys.stderr)
+          f"final rel-err {err:.3f}; min-over-k rel-err {min_err:.4f}; "
+          f"nnz/s {nnz_per_sec:.3e}", file=sys.stderr)
+
+    # Quality gate: semi-convergence minimum must match the stored exact-f32
+    # reference — fail loudly (no JSON line) if a fast-path change broke it.
+    gate = MIN_ERR_F32_REFERENCE * MIN_ERR_TOLERANCE
+    if not np.isfinite(min_err) or min_err > gate:
+        print(f"[bench] QUALITY GATE FAILED: min-over-k rel-err {min_err:.4f}"
+              f" > {gate:.4f} (= {MIN_ERR_F32_REFERENCE} x "
+              f"{MIN_ERR_TOLERANCE})", file=sys.stderr)
+        sys.exit(1)
 
     print(json.dumps({
         "metric": "hybrid_ba_gmres_iters_per_sec_m100_ct64",
         "value": round(iters_per_sec, 2),
         "unit": "iterations/s",
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 2),
+        "min_rel_err": round(min_err, 4),
+        "min_rel_err_gate": round(gate, 4),
+        "nnz_per_sec": round(nnz_per_sec, 1),
     }))
 
 

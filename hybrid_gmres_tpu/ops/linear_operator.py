@@ -132,12 +132,15 @@ class AugmentedOperator(LinearOperator):
         return self.op.dtype
 
     def matvec(self, v):
-        sqlam = jnp.sqrt(jnp.asarray(self.lam, dtype=self.dtype))
+        # lam is cast to the VECTOR dtype, never the operator's: a quantized
+        # operator's storage dtype would truncate lam (int8(1e-2) == 0,
+        # silently dropping the regularization — ADVICE r1 high).
+        sqlam = jnp.sqrt(jnp.asarray(self.lam, dtype=v.dtype))
         return jnp.concatenate([self.op.matvec(v), sqlam * v])
 
     def rmatvec(self, u):
         m, n = self.op.shape
-        sqlam = jnp.sqrt(jnp.asarray(self.lam, dtype=self.dtype))
+        sqlam = jnp.sqrt(jnp.asarray(self.lam, dtype=u.dtype))
         return self.op.rmatvec(u[:m]) + sqlam * u[m:]
 
     def augment_rhs(self, b):
@@ -173,10 +176,11 @@ class ShiftedOperator(LinearOperator):
         return self.op.dtype
 
     def matvec(self, v):
-        return self.op.matvec(v) + jnp.asarray(self.lam, dtype=self.dtype) * v
+        # vector dtype, not operator dtype (see AugmentedOperator.matvec)
+        return self.op.matvec(v) + jnp.asarray(self.lam, dtype=v.dtype) * v
 
     def rmatvec(self, u):
-        return self.op.rmatvec(u) + jnp.asarray(self.lam, dtype=self.dtype) * u
+        return self.op.rmatvec(u) + jnp.asarray(self.lam, dtype=u.dtype) * u
 
     def tree_flatten(self):
         return (self.op, self.lam), None

@@ -228,6 +228,13 @@ class PallasBSROperator(LinearOperator):
     ``dtype=int8`` stores per-row symmetrically quantized blocks with f32
     row scales applied outside the kernel (``A ~= diag(s) Q``): half the
     panel traffic of bf16, ~1e-4 relative matvec error on the CT operator.
+    The adjoint panel is built from the SAME quantized ``Q`` (``Q^T`` values
+    are int8-exact), so ``<A x, u> == <x, A^T u>`` holds exactly — GKB
+    bidiagonalization (LSQR/LSMR) requires an exact adjoint pair.
+
+    ``dtype`` reports the COMPUTE dtype (float32 when quantized): int8 is a
+    storage detail; ``lam``-composing wrappers and ``todense`` must see the
+    dtype arithmetic actually happens in.  Storage is ``storage_dtype``.
     """
 
     def __init__(self, fwd: BucketedBlockELL, adj, interpret: bool = False,
@@ -257,8 +264,11 @@ class PallasBSROperator(LinearOperator):
             csr_fwd, s = _row_quantize_csr(csr)
             fwd_scale = jnp.asarray(s)
             if with_adjoint:
-                csr_adj, sa = _row_quantize_csr(csr_adj)
-                adj_scale = jnp.asarray(sa)
+                # ONE quantization: the adjoint panel is Q^T (values already
+                # int8-exact) and rmatvec pre-scales u by fwd_scale, so
+                # rmatvec is the exact transpose of matvec (GKB needs this;
+                # independent quantization broke <Ax,u>==<x,A^T u> by ~2e-3).
+                csr_adj = csr_fwd.T.tocsr()
         fwd = bucketed_block_ell_from_csr(
             csr_fwd, block=block, dtype=dt, n_buckets=n_buckets,
             row_group=row_group,
@@ -279,6 +289,16 @@ class PallasBSROperator(LinearOperator):
 
     @property
     def dtype(self):
+        # Compute/output dtype.  For quantized panels the storage is int8 but
+        # every product is f32 (row scales applied outside the kernel);
+        # reporting int8 made lam-wrappers cast lam to int8 (1e-2 -> 0),
+        # silently dropping Tikhonov regularization (ADVICE r1 high).
+        if self.fwd_scale is not None:
+            return jnp.dtype(jnp.float32)
+        return self.fwd.buckets[0][0].dtype
+
+    @property
+    def storage_dtype(self):
         return self.fwd.buckets[0][0].dtype
 
     def matvec(self, x):
@@ -288,19 +308,24 @@ class PallasBSROperator(LinearOperator):
         return y
 
     def rmatvec(self, u):
+        out_dtype = u.dtype
+        if self.fwd_scale is not None:
+            # A = diag(s) Q  =>  A^T u = Q^T (s * u).  Keep the pre-scaled
+            # vector in f32 — a round-trip through u.dtype adds avoidable
+            # rounding for bf16 inputs (kernels upcast to f32 anyway).
+            u = self.fwd_scale * u.astype(jnp.float32)
         if self.adj is None:
             # No transpose panel stored: apply the forward panel through the
             # transposed kernel.  Correct and memory-free, but the VMEM
             # read-modify-write accumulation chain makes it ~25% slower than
             # a dedicated panel (measured CT n=64) — build with
             # with_adjoint=True for rmatvec-heavy solvers (GKB).
-            if self.fwd_scale is not None:
-                u = (self.fwd_scale * u.astype(jnp.float32)).astype(u.dtype)
-            return bucketed_bsr_rmatvec(self.fwd, u, interpret=self.interpret)
-        y = bucketed_bsr_matvec(self.adj, u, interpret=self.interpret)
-        if self.adj_scale is not None:
-            y = (self.adj_scale * y.astype(jnp.float32)).astype(y.dtype)
-        return y
+            y = bucketed_bsr_rmatvec(self.fwd, u, interpret=self.interpret)
+        else:
+            y = bucketed_bsr_matvec(self.adj, u, interpret=self.interpret)
+            if self.adj_scale is not None:
+                y = self.adj_scale * y.astype(jnp.float32)
+        return y.astype(out_dtype)
 
     def tree_flatten(self):
         return (self.fwd, self.adj, self.fwd_scale, self.adj_scale), \

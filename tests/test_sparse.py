@@ -157,7 +157,10 @@ def test_pallas_kernel_int8(mats):
     A, x, u = mats
     op = PallasBSROperator.from_csr(A, dtype=jnp.int8, interpret=True,
                                     n_buckets=2)
-    assert op.dtype == jnp.int8
+    # int8 is a storage detail; compute dtype is f32 (ADVICE r1 high: an
+    # int8-reporting dtype made lam-wrappers truncate lam to 0)
+    assert op.dtype == jnp.float32
+    assert op.storage_dtype == jnp.int8
     assert op.fwd_scale is not None and op.fwd_scale.shape == (A.shape[0],)
     y = np.asarray(op.matvec(jnp.asarray(x, dtype=jnp.float32)))
     ref = A @ x
@@ -171,6 +174,44 @@ def test_pallas_kernel_int8(mats):
                                      n_buckets=2, with_adjoint=False)
     yt2 = np.asarray(op2.rmatvec(jnp.asarray(u, dtype=jnp.float32)))
     assert np.linalg.norm(yt2 - reft) / np.linalg.norm(reft) < 1e-2
+
+
+def test_int8_adjoint_is_exact_transpose(mats):
+    """GKB bidiagonalization assumes <Ax,u> == <x,A^T u> EXACTLY.  The int8
+    adjoint panel is built from the same quantized Q (not re-quantized), so
+    the dedicated-panel path must agree with the fallback to f32 roundoff
+    (ADVICE r1 medium: independent quantization broke this by ~2e-3)."""
+    A, x, u = mats
+    xf = jnp.asarray(x, dtype=jnp.float32)
+    uf = jnp.asarray(u, dtype=jnp.float32)
+    op = PallasBSROperator.from_csr(A, dtype=jnp.int8, interpret=True,
+                                    n_buckets=2)
+    lhs = float(jnp.vdot(op.matvec(xf), uf))
+    rhs = float(jnp.vdot(xf, op.rmatvec(uf)))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-5
+
+
+def test_int8_operator_keeps_tikhonov_lambda(mats):
+    """Regression for ADVICE r1 high: AugmentedOperator/ShiftedOperator on a
+    quantized operator must not truncate lam to the int8 storage dtype."""
+    from hybrid_gmres_tpu.ops.linear_operator import (
+        AugmentedOperator, ShiftedOperator)
+
+    A, x, _ = mats
+    op = PallasBSROperator.from_csr(A, dtype=jnp.int8, interpret=True,
+                                    n_buckets=2)
+    lam = 1e-2
+    aug = AugmentedOperator(op, lam)
+    xf = jnp.asarray(x, dtype=jnp.float32)
+    tail = np.asarray(aug.matvec(xf))[A.shape[0]:]
+    np.testing.assert_allclose(tail, np.sqrt(lam) * np.asarray(xf), rtol=1e-6)
+    # square case for ShiftedOperator: use A^T A action via composition
+    from hybrid_gmres_tpu.ops.linear_operator import ProductOperator
+    sq = ShiftedOperator(ProductOperator(op.T, op), lam)
+    y = np.asarray(sq.matvec(xf))
+    y0 = np.asarray(ProductOperator(op.T, op).matvec(xf))
+    np.testing.assert_allclose(y - y0, lam * np.asarray(xf), rtol=1e-4,
+                               atol=1e-6)
 
 
 def test_int8_quantization_rowwise_exact_for_small_ints():
