@@ -9,10 +9,14 @@ from hybrid_gmres_tpu.parallel.sharded_full import (
     ba_gmres_sharded_basis,
     ab_gmres_sharded_basis,
 )
+from hybrid_gmres_tpu.parallel.panels import (
+    ShardedPanels,
+    comms_bytes_per_iteration,
+    shard_bucketed_panels,
+)
 from hybrid_gmres_tpu.parallel.sharded_pallas import (
-    ShardedBlockELL,
+    ab_gmres_sharded_pallas,
     ba_gmres_sharded_pallas,
-    shard_block_ell,
 )
 from hybrid_gmres_tpu.parallel.multihost import initialize_multihost
 
@@ -24,8 +28,10 @@ __all__ = [
     "ba_gmres_sharded",
     "ba_gmres_sharded_basis",
     "ab_gmres_sharded_basis",
-    "ShardedBlockELL",
+    "ShardedPanels",
+    "shard_bucketed_panels",
+    "comms_bytes_per_iteration",
     "ba_gmres_sharded_pallas",
-    "shard_block_ell",
+    "ab_gmres_sharded_pallas",
     "initialize_multihost",
 ]

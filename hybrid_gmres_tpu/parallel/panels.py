@@ -1,0 +1,353 @@
+"""Mesh-uniform bucketed block-ELL panels + static-window vector exchange.
+
+This is the distributed counterpart of the single-chip production format
+(``ops/sparse.py`` ``BucketedBlockELL`` + the Pallas kernels in
+``ops/spmv_pallas.py``): each shard's row slab is packed with the SAME
+bucketing/row-group machinery the single-chip path uses, then padded to
+mesh-uniform per-bucket shapes so the whole structure flows through
+``shard_map`` with a leading device axis.
+
+Two communication upgrades over the round-1 sharded path (VERDICT r1 #1):
+
+  * **Static column windows.**  At build time we record, per shard, the
+    contiguous window of x-slabs its panel actually touches.  When the
+    union of needed exchange shifts is smaller than the mesh, the matvec
+    input is assembled from ``ppermute`` hops instead of a full
+    ``all_gather`` — per-matvec gather bytes become ``L * n/p`` (L = number
+    of distinct shifts) instead of ``(p-1) * n/p``, i.e. *constant* in mesh
+    size for banded operators instead of linear.  Block-column indices are
+    stored window-relative so the kernels never see global coordinates.
+  * **Reduce-scatter instead of all-reduce.**  The n-space product of the
+    column-partitioned operator (the reference's ``B*(A*q)``,
+    ``BAgmres_hybrid_bounds.m:25``) was psum-then-slice; the solvers in
+    ``sharded_pallas.py`` now use ``psum_scatter``, halving those bytes.
+
+``comms_bytes_per_iteration`` reports the resulting analytic per-iteration
+communication volume (recorded in DESIGN.md).
+
+No reference counterpart: the reference is single-process MATLAB
+(SURVEY.md §2.4); this layer is the TPU-native scaling design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hybrid_gmres_tpu.ops.sparse import bucketed_block_ell_from_csr
+from hybrid_gmres_tpu.ops.spmv_pallas import _bucket_matvec, _bucket_rmatvec
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedPanels:
+    """Stacked per-shard bucketed block-ELL panels (leading device axis).
+
+    Array leaves all carry a leading ``p`` axis so a pytree-wide
+    ``PartitionSpec(axis)`` shards the whole structure:
+
+      * ``buckets``: tuple of ``(blocks (p, nbr_b, maxb_b, br, bc),
+        bcols (p, nbr_b * maxb_b) int32)`` — bcols are WINDOW-RELATIVE.
+      * ``inv_perm`` (p, nbr): original block-row -> position in the
+        concatenated sorted order (forward kernel output un-sort).
+      * ``fwd_perm`` (p, total): position -> original block-row (-1 for
+        bucket padding rows; transposed-kernel input sort).
+      * ``win_start`` (p,) int32: first x-slab of each shard's window.
+
+    Static aux: ``shape`` (global m, n), ``ncb`` (global block columns),
+    ``win_slabs`` (uniform window width, in slabs of n/p), ``slab_blocks``
+    (block columns per slab; 0 = windowing disabled, window is the whole
+    padded column space), ``shifts`` (dmin, L): the ppermute shift range
+    ``dmin .. dmin+L-1`` covering every shard's window (L == p means use
+    all_gather), ``row_group``, ``p``.
+    """
+
+    def __init__(self, buckets, inv_perm, fwd_perm, win_start, shape, ncb,
+                 win_slabs, slab_blocks, shifts, row_group, p):
+        self.buckets = tuple(buckets)
+        self.inv_perm = inv_perm
+        self.fwd_perm = fwd_perm
+        self.win_start = win_start
+        self.shape = tuple(shape)
+        self.ncb = int(ncb)
+        self.win_slabs = int(win_slabs)
+        self.slab_blocks = int(slab_blocks)
+        self.shifts = tuple(shifts)
+        self.row_group = int(row_group)
+        self.p = int(p)
+
+    @property
+    def block_shape(self):
+        return self.buckets[0][0].shape[3], self.buckets[0][0].shape[4]
+
+    @property
+    def windowed(self) -> bool:
+        return self.slab_blocks > 0
+
+    @property
+    def win_blocks(self) -> int:
+        """Block columns visible to the local kernels."""
+        return (self.win_slabs * self.slab_blocks if self.windowed
+                else self.ncb)
+
+    @property
+    def nbytes(self) -> int:
+        return sum(int(b.size) * b.dtype.itemsize for b, _ in self.buckets)
+
+    def tree_flatten(self):
+        children = (self.buckets, self.inv_perm, self.fwd_perm,
+                    self.win_start)
+        aux = (self.shape, self.ncb, self.win_slabs, self.slab_blocks,
+               self.shifts, self.row_group, self.p)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        buckets, inv_perm, fwd_perm, win_start = children
+        return cls(buckets, inv_perm, fwd_perm, win_start, *aux)
+
+
+def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
+                          n_buckets: int = 4, row_group: int = 8,
+                          window: bool = True) -> ShardedPanels:
+    """Split CSR rows into ``p`` contiguous slabs, pack each with the tuned
+    single-chip bucketed format, pad to mesh-uniform shapes, and compute the
+    static column windows.
+
+    ``window=True`` enables the windowed exchange when the column slabs are
+    block-aligned (``(n/p) % bc == 0``); otherwise the panel falls back to
+    global coordinates + all_gather (still with bucketed local compute).
+    """
+    m, n = csr.shape
+    if m % p:
+        raise ValueError(f"rows {m} not divisible by {p} shards")
+    csr = csr.tocsr()
+    mloc = m // p
+    br, bc = block
+    panels = [
+        bucketed_block_ell_from_csr(
+            csr[i * mloc:(i + 1) * mloc], block=block, dtype=dtype,
+            n_buckets=n_buckets, row_group=row_group)
+        for i in range(p)
+    ]
+    nb = len(panels[0].buckets)
+    if any(len(pl.buckets) != nb for pl in panels):
+        raise AssertionError("bucket count must be mesh-uniform")
+    ncb = panels[0].ncb
+
+    # --- static column windows (in slabs of n/p columns) ---
+    nloc = n // p if n % p == 0 else 0
+    windowed = window and nloc > 0 and nloc % bc == 0
+    if windowed:
+        slab_blocks = nloc // bc
+        smin = np.zeros(p, np.int64)
+        smax = np.zeros(p, np.int64)
+        for i, pl in enumerate(panels):
+            cols = [np.asarray(bcols_)[np.asarray(blocks_).reshape(
+                blocks_.shape[0], blocks_.shape[1], -1).any(axis=2)]
+                for blocks_, bcols_ in pl.buckets]
+            cols = (np.concatenate(cols) if cols else
+                    np.zeros(0, np.int64))
+            if cols.size == 0:
+                smin[i] = smax[i] = 0
+            else:
+                smin[i] = cols.min() // slab_blocks
+                smax[i] = cols.max() // slab_blocks
+        S = int((smax - smin + 1).max())
+        # Window starts may run NEGATIVE or past p (slabs are fetched mod p):
+        # choose per-shard starts  start_i = i + e_i  with
+        # e_i = clamp(e, smax_i - S + 1 - i, smin_i - i)  for the common
+        # offset e that minimizes the global shift range L — without this,
+        # clamping edge windows into [0, p-S] inflates L past p for any
+        # operator whose band wraps near the boundary shards.
+        ids = np.arange(p)
+        lo = smax - S + 1 - ids
+        hi = smin - ids
+        best = None
+        for e in range(int(lo.min()), int(hi.max()) + 1):
+            ei = np.clip(e, lo, hi)
+            Le = int(ei.max() - ei.min()) + S
+            if best is None or Le < best[0]:
+                best = (Le, ei)
+        L, e_i = best
+        start = (ids + e_i).astype(np.int64)
+        dmin = int(e_i.min())
+        if L >= p:  # no savings: one all_gather beats p ppermutes
+            windowed = False
+    if not windowed:
+        slab_blocks = 0
+        S = 0
+        start = np.zeros(p, np.int64)
+        dmin, L = 0, p
+
+    # --- mesh-uniform padding of the per-shard buckets ---
+    buckets = []
+    for b in range(nb):
+        nbr_b = max(pl.buckets[b][0].shape[0] for pl in panels)
+        maxb_b = max(pl.buckets[b][0].shape[1] for pl in panels)
+        nbr_b = -(-nbr_b // row_group) * row_group
+        blocks = np.zeros((p, nbr_b, maxb_b, br, bc), dtype)
+        bcols = np.zeros((p, nbr_b, maxb_b), np.int32)
+        for i, pl in enumerate(panels):
+            blk, bcl = pl.buckets[b]
+            nb_i, mb_i = blk.shape[0], blk.shape[1]
+            blocks[i, :nb_i, :mb_i] = np.asarray(blk)
+            c = np.asarray(bcl)
+            if windowed:
+                # window-relative; real blocks never precede the window
+                # start, so the clip only touches zero-padding slots.
+                c = np.maximum(c - start[i] * slab_blocks, 0)
+            bcols[i, :nb_i, :mb_i] = c
+        buckets.append((jnp.asarray(blocks),
+                        jnp.asarray(bcols.reshape(p, -1))))
+
+    # --- row permutations, mesh-uniform ---
+    nbr = -(-mloc // br)
+    total = sum(blocks.shape[1] for blocks, _ in buckets)
+    inv_perm = np.zeros((p, nbr), np.int32)
+    fwd_perm = np.full((p, total), -1, np.int32)
+    for i, pl in enumerate(panels):
+        # re-derive positions in the PADDED concatenated order
+        off_pad = 0
+        off_orig = 0
+        for b in range(nb):
+            nbr_b_orig = pl.buckets[b][0].shape[0]
+            ip = np.asarray(pl.inv_perm)  # orig row -> pos in orig concat
+            sel = (ip >= off_orig) & (ip < off_orig + nbr_b_orig)
+            rows = np.nonzero(sel)[0]
+            pos = ip[sel] - off_orig + off_pad
+            inv_perm[i, rows] = pos
+            fwd_perm[i, pos] = rows
+            off_orig += nbr_b_orig
+            off_pad += buckets[b][0].shape[1]
+    return ShardedPanels(
+        buckets, jnp.asarray(inv_perm), jnp.asarray(fwd_perm),
+        jnp.asarray(start.astype(np.int32)), (m, n), ncb,
+        S, slab_blocks, (dmin, L), row_group, p,
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_map-local primitives.  All take the LOCAL slices (leading axis 1)
+# of a ShardedPanels pytree, as produced by in_specs=P(axis).
+# ---------------------------------------------------------------------------
+
+def gather_window(sp: ShardedPanels, x_loc, axis: str):
+    """Assemble this shard's x window (win_blocks, bc) f32 from the sharded
+    x (one slab per device).
+
+    Windowed panels: L ppermute hops + a dynamic slice of the received
+    stack (L*n/p bytes on the wire).  Full panels: one all_gather
+    ((p-1)*n/p bytes).
+    """
+    bc = sp.block_shape[1]
+    n = sp.shape[1]
+    p = sp.p
+    x_loc = x_loc.astype(jnp.float32)
+    if not sp.windowed:
+        x_full = jax.lax.all_gather(x_loc, axis, tiled=True)
+        n_pad = sp.ncb * bc
+        x2d = jnp.zeros((n_pad,), jnp.float32).at[:n].set(x_full)
+        return x2d.reshape(sp.ncb, bc)
+    dmin, L = sp.shifts
+    nloc = n // p
+    slabs = []
+    for idx in range(L):
+        d = dmin + idx
+        if d == 0:
+            slabs.append(x_loc)
+        else:
+            perm = [((j + d) % p, j) for j in range(p)]
+            slabs.append(jax.lax.ppermute(x_loc, axis, perm))
+    stack = jnp.stack(slabs)                      # (L, nloc)
+    my = jax.lax.axis_index(axis)
+    start_rel = sp.win_start.reshape(-1)[0] - my - dmin
+    win = jax.lax.dynamic_slice(
+        stack, (start_rel, jnp.zeros((), start_rel.dtype)),
+        (sp.win_slabs, nloc))
+    return win.reshape(-1).reshape(sp.win_blocks, bc)
+
+
+def local_matvec(sp: ShardedPanels, x_win2d, interpret: bool = False):
+    """Forward kernel over this shard's buckets: (m/p,) = A_loc @ x_win."""
+    br = sp.block_shape[0]
+    mloc = sp.shape[0] // sp.p
+    ys = []
+    for blocks, bcols in sp.buckets:
+        ys.append(_bucket_matvec(bcols[0], blocks[0], x_win2d,
+                                 interpret=interpret,
+                                 row_group=sp.row_group))
+    y_sorted = jnp.concatenate(ys, axis=0).reshape(-1, br)
+    y_rows = y_sorted[sp.inv_perm[0]]
+    return y_rows.reshape(-1)[:mloc]
+
+
+def local_rmatvec_window(sp: ShardedPanels, u_loc, interpret: bool = False):
+    """Transposed kernel over this shard's buckets: window-relative partial
+    ``(A_loc)^T u_loc`` of shape (win_blocks, bc) — reduce over the mesh and
+    (for windowed panels) scatter into global coordinates afterwards."""
+    br, bc = sp.block_shape
+    mloc = sp.shape[0] // sp.p
+    nbr = -(-mloc // br)
+    perm = sp.fwd_perm[0]
+    u_pad = jnp.zeros((nbr * br,), jnp.float32).at[:mloc].set(
+        u_loc.astype(jnp.float32)).reshape(nbr, br)
+    u_sorted = jnp.where((perm >= 0)[:, None], u_pad[jnp.clip(perm, 0)], 0.0)
+    y2d = jnp.zeros((sp.win_blocks, bc), jnp.float32)
+    off = 0
+    for blocks, bcols in sp.buckets:
+        nbr_b = blocks.shape[1]
+        y2d = y2d + _bucket_rmatvec(
+            bcols[0], blocks[0], u_sorted[off:off + nbr_b], sp.win_blocks,
+            interpret=interpret, row_group=sp.row_group)
+        off += nbr_b
+    return y2d
+
+
+def scatter_window_to_full(sp: ShardedPanels, y_win2d):
+    """Place a window-relative partial (win_blocks, bc) into the global
+    (n,) coordinate frame (local zero-pad, no communication)."""
+    n = sp.shape[1]
+    bc = sp.block_shape[1]
+    flat = y_win2d.reshape(-1)
+    if not sp.windowed:
+        return flat[:n]
+    p = sp.p
+    nloc = n // p
+    # windows may start negative / wrap past n (mod-p slab fetch), so place
+    # at 0 and roll — jnp.roll wraps for any (traced) shift sign.
+    full = jnp.zeros((n,), flat.dtype).at[: flat.shape[0]].set(flat)
+    off = sp.win_start.reshape(-1)[0] * nloc
+    return jnp.roll(full, off)
+
+
+def comms_bytes_per_iteration(A_panels: ShardedPanels,
+                              itemsize: int = 4,
+                              kdim: int = 0) -> dict:
+    """Analytic per-iteration communication volume (bytes per device) of the
+    sharded-Pallas GMRES schedule, for DESIGN.md and scaling sanity checks.
+
+    Per iteration: one x gather (windowed ppermutes or all_gather), one
+    reduce_scatter of the n-vector, two fused psum(kdim+1) CGS2 reductions
+    and ~4 scalar psums (ring all-reduce ~= 2 (p-1)/p bytes/elem).
+    """
+    p = A_panels.p
+    n = A_panels.shape[1]
+    nloc = n // p
+    if A_panels.windowed:
+        _, L = A_panels.shifts
+        gather = L * nloc * itemsize
+    else:
+        gather = (p - 1) * nloc * itemsize
+    reduce_scatter = (p - 1) * nloc * itemsize
+    allred = 2.0 * (p - 1) / p * itemsize
+    cgs2 = 2 * (kdim + 1) * allred
+    scalars = 4 * allred
+    return {
+        "p": p,
+        "gather_bytes": gather,
+        "reduce_scatter_bytes": reduce_scatter,
+        "cgs2_bytes": cgs2,
+        "scalar_bytes": scalars,
+        "total_bytes": gather + reduce_scatter + cgs2 + scalars,
+    }

@@ -1,31 +1,28 @@
-"""Row-sharded Pallas block-ELL SpMV + the fully-sharded BA-GMRES on top.
+"""Fully-sharded BA/AB-GMRES with scale-aware Pallas block-ELL SpMV.
 
-Completes SURVEY.md §2.4's "sharded SpMV (Pallas kernel)" row: the dense
-local matmuls of ``sharded_full.py`` are replaced by per-shard block-ELL
-panels driven through the same Pallas kernels as the single-chip path
-(``ops/spmv_pallas.py``):
+Local compute is the SAME tuned bucketed block-ELL format as the
+single-chip production path (``ops/spmv_pallas.py``; panels built by
+``parallel/panels.py`` with per-bucket padding, per-operator row groups and
+any caller-applied Morton ordering).  The per-iteration communication
+schedule (mirroring the reference's hot loop ``BAgmres_hybrid_bounds.m:
+24-40`` at scale) is:
 
-  * A is row-partitioned over rays: shard i owns a block-ELL panel of its
-    (m/p, n) row slab; the local ``A_loc @ x`` is the forward kernel with
-    the full (replicated after all_gather) x resident in VMEM.
-  * B is column-partitioned over rays, stored as the block-ELL of the
-    TRANSPOSED slab (ray-major — denser blocking for the CT back-projector,
-    see ``ops/ordering.py``); the local ``B_loc @ u`` is the transposed
-    kernel, whose VMEM-resident (ncb, 128) output is exactly the per-shard
-    partial sum that the following ``psum`` reduces over the mesh.
+  * one **x gather** for the A-side matvec — windowed ppermute hops when the
+    panel's static column support allows (L*n/p bytes, constant in mesh size
+    for banded operators), else one all_gather ((p-1)*n/p bytes);
+  * one **reduce_scatter** of the n-vector for the column-partitioned B
+    product ((p-1)*n/p bytes — half the round-1 psum-then-slice);
+  * one fused psum of all k+1 CGS2 coefficients per orthogonalization pass
+    (the reference's sequential MGS loop would need k round-trips);
+  * scalar psums for norms, with the TRUE residual formed from the stored
+    per-iteration images ``A q_k`` (no extra SpMV, no extra collective).
 
-Panels are padded to a mesh-uniform ``maxb`` and stacked on a leading
-device axis so they flow through ``shard_map`` in_specs ``P(axis, ...)``
-like any other array.  Communication per iteration is identical to
-``ba_gmres_sharded_basis`` (one all_gather, one psum(n), two fused psum(k)
-CGS2 reductions, scalar psums); only the local compute changes.
+``parallel.panels.comms_bytes_per_iteration`` gives the analytic volume;
+see DESIGN.md for the measured/analytic table.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -34,79 +31,42 @@ from hybrid_gmres_tpu.krylov.projected import (
     projected_ls_solve,
     projected_tikhonov_solve,
 )
-from hybrid_gmres_tpu.ops.sparse import block_ell_from_csr
-from hybrid_gmres_tpu.ops.spmv_pallas import (
-    _ROW_GROUP,
-    _bucket_matvec,
-    _bucket_rmatvec,
+from hybrid_gmres_tpu.parallel.panels import (
+    ShardedPanels,
+    gather_window,
+    local_matvec,
+    local_rmatvec_window,
+    scatter_window_to_full,
+    shard_bucketed_panels,
 )
 from hybrid_gmres_tpu.solvers.common import GMRESResult
 
-
-class ShardedBlockELL(NamedTuple):
-    """Mesh-uniform stacked block-ELL: one padded panel per row shard."""
-
-    blocks: jax.Array   # (p, nbr_loc, maxb, 8, 128)
-    bcols: jax.Array    # (p, nbr_loc * maxb) int32, flattened for SMEM
-    shape: tuple        # logical (m, n) of the WHOLE matrix
-    ncb: int            # block columns of the padded column space
+__all__ = [
+    "ShardedPanels",
+    "shard_bucketed_panels",
+    "ba_gmres_sharded_pallas",
+    "ab_gmres_sharded_pallas",
+]
 
 
-def shard_block_ell(csr, p: int, block=(8, 128), dtype=np.float32
-                    ) -> ShardedBlockELL:
-    """Split CSR rows into p contiguous slabs and pack each as block-ELL,
-    padded to a common maxb so the stack shards cleanly over the mesh."""
-    m, n = csr.shape
-    if m % p:
-        raise ValueError(f"rows {m} not divisible by {p} shards")
-    mloc = m // p
-    panels = [
-        block_ell_from_csr(csr[i * mloc:(i + 1) * mloc], block=block,
-                           dtype=dtype, row_group=_ROW_GROUP)
-        for i in range(p)
-    ]
-    maxb = max(pl.blocks.shape[1] for pl in panels)
-    nbr = panels[0].blocks.shape[0]
-    br, bc = block
-    blocks = np.zeros((p, nbr, maxb, br, bc), dtype)
-    bcols = np.zeros((p, nbr, maxb), np.int32)
-    for i, pan in enumerate(panels):
-        mb = pan.blocks.shape[1]
-        blocks[i, :, :mb] = np.asarray(pan.blocks)
-        bcols[i, :, :mb] = np.asarray(pan.bcols)
-    ncb = -(-n // bc)
-    return ShardedBlockELL(
-        jnp.asarray(blocks), jnp.asarray(bcols.reshape(p, -1)), (m, n), ncb
-    )
-
-
-def _local_matvec(bell: ShardedBlockELL, blocks_loc, bcols_loc, x_full,
-                  interpret):
-    """Forward kernel on this shard's panel: (m/p,) = A_loc @ x_full."""
-    bc = blocks_loc.shape[-1]
-    n = bell.shape[1]
-    n_pad = bell.ncb * bc
-    x2d = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
-        x_full.astype(jnp.float32)).reshape(bell.ncb, bc)
-    y = _bucket_matvec(bcols_loc, blocks_loc, x2d, interpret=interpret)
-    return y.reshape(-1)
-
-
-def _local_rmatvec(bell: ShardedBlockELL, blocks_loc, bcols_loc, u_loc,
-                   interpret):
-    """Transposed kernel: (n,) partial = (A_loc)^T u_loc (pre-psum)."""
-    br = blocks_loc.shape[-2]
-    nbr = blocks_loc.shape[0]
-    u_rows = jnp.zeros((nbr * br,), jnp.float32).at[:u_loc.shape[0]].set(
-        u_loc.astype(jnp.float32))
-    y2d = _bucket_rmatvec(bcols_loc, blocks_loc, u_rows, bell.ncb,
-                          interpret=interpret)
-    return y2d.reshape(-1)[: bell.shape[1]]
+def _validate(A_panels: ShardedPanels, BT_panels: ShardedPanels, mesh, axis):
+    p = mesh.devices.size
+    m, n = A_panels.shape
+    if BT_panels.shape != (m, n):
+        raise ValueError(
+            f"BT panels must cover the transposed back-projector as (m, n)="
+            f"{(m, n)}; got {BT_panels.shape}")
+    if A_panels.p != p or BT_panels.p != p:
+        raise ValueError(
+            f"panels built for p={A_panels.p}/{BT_panels.p}, mesh has {p}")
+    if m % p or n % p:
+        raise ValueError(f"mesh size {p} must divide m={m} and n={n}")
+    return p, m, n
 
 
 def ba_gmres_sharded_pallas(
-    A_bell: ShardedBlockELL,
-    BT_bell: ShardedBlockELL,
+    A_panels: ShardedPanels,
+    BT_panels: ShardedPanels,
     b,
     x_true=None,
     tol: float = 1e-6,
@@ -116,39 +76,30 @@ def ba_gmres_sharded_pallas(
     axis: str = "rows",
     interpret: bool = False,
 ) -> GMRESResult:
-    """Fully-sharded hybrid BA-GMRES with Pallas local SpMV on every shard.
+    """Fully-sharded (hybrid) BA-GMRES with Pallas local SpMV on every shard.
 
-    ``A_bell``: sharded panels of A (m x n, ray rows).  ``BT_bell``: sharded
-    panels of B^T's ray-major row slabs, i.e. ``shard_block_ell(B.T.tocsr(),
-    p)`` — B itself is applied through the transposed kernel.  Uses the
-    fused exact-residual form throughout (stored A q_k image basis).
+    ``A_panels``: sharded panels of A (m x n, ray rows).  ``BT_panels``:
+    sharded panels of B^T's ray-major row slabs, i.e.
+    ``shard_bucketed_panels(B.T.tocsr(), p)`` — B itself is applied through
+    the transposed kernel, and its window-relative partial is
+    reduce-scattered straight onto the n-sharded basis.  The TRUE residual
+    comes from the stored A q_k images (2 SpMVs/iteration).
     ``interpret=True`` runs the kernels in Pallas interpret mode (CPU mesh
-    tests).
-    """
+    tests)."""
     if mesh is None:
         from hybrid_gmres_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(axis_name=axis)
     maxit = int(maxit)
-    p = mesh.devices.size
-    m, n = A_bell.shape
-    if BT_bell.shape != (m, n):
-        raise ValueError(
-            f"BT panels must cover the transposed back-projector as (m, n)="
-            f"{(m, n)}; got {BT_bell.shape}")
-    if m % p or n % p:
-        raise ValueError(f"mesh size {p} must divide m={m} and n={n}")
+    p, m, n = _validate(A_panels, BT_panels, mesh, axis)
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
 
-    def solver(Ablk, Acol, Bblk, Bcol, b_loc, xt_loc):
+    def solver(A_loc, BT_loc, b_loc, xt_loc):
         nloc = n // p
         mloc = m // p
-        my = jax.lax.axis_index(axis)
-        Ablk, Acol = Ablk[0], Acol[0]
-        Bblk, Bcol = Bblk[0], Bcol[0]
 
         def pdot(u_loc, v_loc):
             return jax.lax.psum(jnp.dot(u_loc, v_loc), axis)
@@ -156,22 +107,23 @@ def ba_gmres_sharded_pallas(
         def pnorm(u_loc):
             return jnp.sqrt(pdot(u_loc, u_loc))
 
-        def my_slice(v_full):
-            return jax.lax.dynamic_slice(v_full, (my * nloc,), (nloc,))
+        def A_mv(x_loc):
+            """A @ x for n-sharded x: windowed gather + forward kernel."""
+            x_win = gather_window(A_loc, x_loc, axis)
+            return local_matvec(A_loc, x_win, interpret=interpret
+                                ).astype(dtype)
 
-        def A_mv(x_full):
-            y = _local_matvec(A_bell, Ablk, Acol, x_full, interpret)
-            return y[:mloc].astype(dtype)
-
-        def B_mv_psum(u_loc):
-            part = _local_rmatvec(BT_bell, Bblk, Bcol, u_loc, interpret)
-            return jax.lax.psum(part.astype(dtype), axis)
+        def B_mv_scatter(u_loc):
+            """My (n/p,) slab of B @ u: transposed kernel + reduce_scatter."""
+            part = local_rmatvec_window(BT_loc, u_loc, interpret=interpret)
+            full = scatter_window_to_full(BT_loc, part).astype(dtype)
+            return jax.lax.psum_scatter(full, axis, scatter_dimension=0,
+                                        tiled=True)
 
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
 
-        r0_full = B_mv_psum(b_loc)
-        r0_loc = my_slice(r0_full)
+        r0_loc = B_mv_scatter(b_loc)
         beta = pnorm(r0_loc)
         t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
 
@@ -189,10 +141,9 @@ def ba_gmres_sharded_pallas(
 
         def body(carry, k):
             Q, H, x, active, niters, IMG = carry
-            q_full = jax.lax.all_gather(Q[:, k], axis, tiled=True)
-            img_loc = A_mv(q_full)
+            img_loc = A_mv(Q[:, k])
             IMG = IMG.at[:, k].set(img_loc)
-            w_loc = my_slice(B_mv_psum(img_loc))
+            w_loc = B_mv_scatter(img_loc)
             c1 = jax.lax.psum(Q.T @ w_loc, axis)
             w_loc = w_loc - Q @ c1
             c2 = jax.lax.psum(Q.T @ w_loc, axis)
@@ -236,12 +187,145 @@ def ba_gmres_sharded_pallas(
     f = jax.shard_map(
         solver,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(), P(), P(), P(axis, None), P(), P()),
         check_vma=False,
     )
     x, err_hist, res_hist, niters, Q, H, beta = f(
-        A_bell.blocks, A_bell.bcols, BT_bell.blocks, BT_bell.bcols, b, x_true)
+        A_panels, BT_panels, b, x_true)
+    if not have_xt:
+        err_hist = jnp.full_like(err_hist, jnp.nan)
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
+
+
+def ab_gmres_sharded_pallas(
+    A_panels: ShardedPanels,
+    BT_panels: ShardedPanels,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    maxit: int = 50,
+    lam=None,
+    mesh: Mesh | None = None,
+    axis: str = "rows",
+    interpret: bool = False,
+) -> GMRESResult:
+    """Fully-sharded (hybrid) AB-GMRES: m-space Krylov basis sharded over
+    rays, Pallas local SpMV (mirror of ``ABgmres_nonhybrid_bounds.m:24-37``
+    at scale).
+
+    The image intermediates ``s_k = B q_k`` stay n-SHARDED (reduce_scatter,
+    never replicated) and the raw images ``w_k = A s_k`` m-sharded, so the
+    solution ``x = S y`` and TRUE residual ``||b - W y||`` need no extra
+    collectives (the fused-residual schedule of ``sharded_full.py``).  The
+    returned ``x`` is the n-sharded solution.  Per-iteration communication
+    is identical to the BA variant: one reduce_scatter(n), one windowed/full
+    x gather, two fused psum(k+1), scalar psums."""
+    if mesh is None:
+        from hybrid_gmres_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_name=axis)
+    maxit = int(maxit)
+    p, m, n = _validate(A_panels, BT_panels, mesh, axis)
+    dtype = b.dtype
+    have_xt = x_true is not None
+    if not have_xt:
+        x_true = jnp.zeros((n,), dtype=dtype)
+
+    def solver(A_loc, BT_loc, b_loc, xt_loc):
+        nloc = n // p
+        mloc = m // p
+
+        def pdot(u_loc, v_loc):
+            return jax.lax.psum(jnp.dot(u_loc, v_loc), axis)
+
+        def pnorm(u_loc):
+            return jnp.sqrt(pdot(u_loc, u_loc))
+
+        def B_mv_scatter(u_loc):
+            part = local_rmatvec_window(BT_loc, u_loc, interpret=interpret)
+            full = scatter_window_to_full(BT_loc, part).astype(dtype)
+            return jax.lax.psum_scatter(full, axis, scatter_dimension=0,
+                                        tiled=True)
+
+        def A_mv(x_loc):
+            x_win = gather_window(A_loc, x_loc, axis)
+            return local_matvec(A_loc, x_win, interpret=interpret
+                                ).astype(dtype)
+
+        b_norm = pnorm(b_loc)
+        xt_norm = pnorm(xt_loc)
+
+        beta = b_norm
+        t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
+        Q0 = jnp.zeros((mloc, maxit + 1), dtype=dtype).at[:, 0].set(
+            b_loc / beta)
+        H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
+        x0 = jnp.zeros((nloc,), dtype=dtype)
+        S0 = jnp.zeros((nloc, maxit), dtype=dtype)
+        W0 = jnp.zeros((mloc, maxit), dtype=dtype)
+
+        if lam is None:
+            project_solve = lambda H, kdim: projected_ls_solve(H, t, kdim)
+        else:
+            project_solve = lambda H, kdim: projected_tikhonov_solve(
+                H, t, lam, kdim)
+
+        def body(carry, k):
+            Q, H, x, active, niters, S, W = carry
+            s_loc = B_mv_scatter(Q[:, k])          # (n/p,) image slab
+            w_loc = A_mv(s_loc)                    # (m/p,) raw image rows
+            S = S.at[:, k].set(s_loc)
+            W = W.at[:, k].set(w_loc)
+            c1 = jax.lax.psum(Q.T @ w_loc, axis)
+            w_loc = w_loc - Q @ c1
+            c2 = jax.lax.psum(Q.T @ w_loc, axis)
+            w_loc = w_loc - Q @ c2
+            h = c1 + c2
+            hnorm = pnorm(w_loc)
+            breakdown = hnorm <= jnp.zeros((), dtype)
+            hsafe = jnp.where(breakdown, jnp.ones((), dtype), hnorm)
+            h = h.at[k + 1].set(hnorm)
+            Hn = H.at[:, k].set(h)
+            Qn = Q.at[:, k + 1].set(
+                jnp.where(breakdown, jnp.zeros_like(w_loc), w_loc / hsafe))
+            Qn = jax.lax.select(active, Qn, Q)
+            Hn = jax.lax.select(active, Hn, H)
+
+            kdim = k + 1
+            y = project_solve(Hn, kdim)
+            xk_loc = S @ y                          # x = (B Q_k) y, n-sharded
+            r_loc = b_loc - W @ y                   # true residual, m-sharded
+            res_k = pnorm(r_loc) / b_norm
+            d_loc = xk_loc - xt_loc
+            err_k = jnp.sqrt(pdot(d_loc, d_loc)) / xt_norm
+
+            adopt = active
+            x = jax.lax.select(adopt, xk_loc, x)
+            nan = jnp.asarray(jnp.nan, dtype)
+            res_rec = jnp.where(adopt, res_k, nan)
+            err_rec = jnp.where(adopt, err_k, nan)
+            niters = jnp.where(adopt, kdim, niters)
+            stop = breakdown | (res_k <= tol)
+            active = active & ~stop
+            return (Qn, Hn, x, active, niters, S, W), (res_rec, err_rec)
+
+        (Q, H, x, _, niters, _, _), (res_hist, err_hist) = jax.lax.scan(
+            body,
+            (Q0, H0, x0, jnp.bool_(True), jnp.int32(0), S0, W0),
+            jnp.arange(maxit, dtype=jnp.int32),
+        )
+        return x, err_hist, res_hist, niters, Q, H, beta
+
+    f = jax.shard_map(
+        solver,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(), P(), P(), P(axis, None), P(), P()),
+        check_vma=False,
+    )
+    x, err_hist, res_hist, niters, Q, H, beta = f(
+        A_panels, BT_panels, b, x_true)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)

@@ -175,29 +175,43 @@ def test_sharded_basis_fused_residual_matches_true(prob, kind):
                                rtol=1e-9, atol=1e-12)
 
 
-def test_sharded_pallas_solver_matches_dense(prob):
-    """Per-shard Pallas block-ELL SpMV (interpret mode) == dense sharded ==
-    single-device, on the virtual 8-device mesh."""
-    import scipy.sparse as sp
-    from hybrid_gmres_tpu.parallel import (
-        ba_gmres_sharded_pallas, shard_block_ell)
-
-    rng = np.random.default_rng(1)
-    m, n = 64, 32
-    Ad = (rng.standard_normal((m, n)) * (rng.random((m, n)) < 0.3)
+def _sparse_pair(m, n, density=0.3, seed=1):
+    rng = np.random.default_rng(seed)
+    Ad = (rng.standard_normal((m, n)) * (rng.random((m, n)) < density)
           ).astype(np.float32)
     Bd = (Ad.T + 1e-3 * rng.standard_normal((n, m))).astype(np.float32)
     x_true = rng.standard_normal(n).astype(np.float32)
     b = (Ad @ x_true + 0.01 * rng.standard_normal(m)).astype(np.float32)
+    return Ad, Bd, b, x_true
 
+
+@pytest.mark.parametrize("kind", ["ba", "ab"])
+def test_sharded_pallas_solver_matches_dense(kind):
+    """Per-shard bucketed Pallas SpMV (interpret mode) + reduce-scatter
+    comms == dense single-device, on the virtual 8-device mesh."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu import ab_gmres
+    from hybrid_gmres_tpu.parallel import (
+        ab_gmres_sharded_pallas, ba_gmres_sharded_pallas,
+        shard_bucketed_panels)
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 32)
     mesh = make_mesh()
-    A_bell = shard_block_ell(sp.csr_matrix(Ad), mesh.devices.size)
-    BT_bell = shard_block_ell(sp.csr_matrix(Bd.T), mesh.devices.size)
-    r_sh = ba_gmres_sharded_pallas(
-        A_bell, BT_bell, jnp.asarray(b), jnp.asarray(x_true),
-        tol=0.0, maxit=8, lam=1e-3, mesh=mesh, interpret=True)
-    r_ref = ba_gmres(jnp.asarray(Ad), jnp.asarray(Bd), jnp.asarray(b),
-                     jnp.asarray(x_true), tol=0.0, maxit=8, lam=1e-3)
+    p = mesh.devices.size
+    A_panels = shard_bucketed_panels(sp.csr_matrix(Ad), p)
+    BT_panels = shard_bucketed_panels(sp.csr_matrix(Bd.T), p)
+    if kind == "ba":
+        r_sh = ba_gmres_sharded_pallas(
+            A_panels, BT_panels, jnp.asarray(b), jnp.asarray(x_true),
+            tol=0.0, maxit=8, lam=1e-3, mesh=mesh, interpret=True)
+        r_ref = ba_gmres(jnp.asarray(Ad), jnp.asarray(Bd), jnp.asarray(b),
+                         jnp.asarray(x_true), tol=0.0, maxit=8, lam=1e-3)
+    else:
+        r_sh = ab_gmres_sharded_pallas(
+            A_panels, BT_panels, jnp.asarray(b), jnp.asarray(x_true),
+            tol=0.0, maxit=8, lam=1e-3, mesh=mesh, interpret=True)
+        r_ref = ab_gmres(jnp.asarray(Ad), jnp.asarray(Bd), jnp.asarray(b),
+                         jnp.asarray(x_true), tol=0.0, maxit=8, lam=1e-3)
     np.testing.assert_allclose(
         np.asarray(r_sh.res_hist),
         np.asarray(r_ref.res_hist, dtype=np.float32), rtol=5e-5)
@@ -207,3 +221,91 @@ def test_sharded_pallas_solver_matches_dense(prob):
     np.testing.assert_allclose(
         np.asarray(r_sh.x), np.asarray(r_ref.x, dtype=np.float32),
         rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_panels_windowed_exchange():
+    """A block-banded operator on a block-aligned mesh must trigger the
+    static-window exchange (few ppermute shifts, not an all_gather) and
+    still reproduce the dense solver exactly."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_pallas, comms_bytes_per_iteration,
+        shard_bucketed_panels)
+
+    p = 8
+    n = 128 * p          # nloc = 128 = one block column per slab
+    m = n
+    rng = np.random.default_rng(3)
+    # block-tridiagonal band: row slab i touches column slabs i-1..i+1
+    diags = [np.ones(n - abs(o)) * rng.standard_normal(n - abs(o))
+             for o in (-130, -40, 0, 40, 130)]
+    Ad = sp.diags(diags, offsets=(-130, -40, 0, 40, 130)).tocsr()
+    Bd = (Ad.T).tocsr()
+    Bd = Bd + sp.random(n, m, density=1e-4, random_state=5, format="csr")
+
+    A_panels = shard_bucketed_panels(Ad, p)
+    BT_panels = shard_bucketed_panels(Bd.T.tocsr(), p)
+    assert A_panels.windowed, "banded operator must get a static window"
+    dmin, L = A_panels.shifts
+    assert L < p, (dmin, L)
+    comms = comms_bytes_per_iteration(A_panels)
+    full = (p - 1) * (n // p) * 4
+    assert comms["gather_bytes"] < full
+
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b = (Ad @ x_true + 0.01 * rng.standard_normal(m)).astype(np.float32)
+    mesh = make_mesh()
+    r_sh = ba_gmres_sharded_pallas(
+        A_panels, BT_panels, jnp.asarray(b), jnp.asarray(x_true),
+        tol=0.0, maxit=6, lam=1e-3, mesh=mesh, interpret=True)
+    Adj = jnp.asarray(Ad.toarray(), dtype=jnp.float32)
+    Bdj = jnp.asarray(Bd.toarray(), dtype=jnp.float32)
+    r_ref = ba_gmres(Adj, Bdj, jnp.asarray(b), jnp.asarray(x_true),
+                     tol=0.0, maxit=6, lam=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.res_hist),
+        np.asarray(r_ref.res_hist, dtype=np.float32), rtol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.x), np.asarray(r_ref.x, dtype=np.float32),
+        rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_panels_matvec_primitives():
+    """local_matvec / local_rmatvec + collectives == CSR products, both
+    windowed and full-gather panels."""
+    import scipy.sparse as sp
+    from jax.sharding import PartitionSpec as P
+    from hybrid_gmres_tpu.parallel import shard_bucketed_panels
+    from hybrid_gmres_tpu.parallel.panels import (
+        gather_window, local_matvec, local_rmatvec_window,
+        scatter_window_to_full)
+
+    p = 8
+    for n, density in ((128 * p, 0.02), (32 * p, 0.2)):
+        m = n
+        A = sp.random(m, n, density=density, random_state=7,
+                      format="csr", dtype=np.float64).astype(np.float32)
+        panels = shard_bucketed_panels(A, p)
+        x = np.random.default_rng(11).standard_normal(n).astype(np.float32)
+        u = np.random.default_rng(12).standard_normal(m).astype(np.float32)
+        mesh = make_mesh()
+
+        def fwd(pan, x_loc):
+            xw = gather_window(pan, x_loc, "rows")
+            return local_matvec(pan, xw, interpret=True)
+
+        def rmv(pan, u_loc):
+            part = local_rmatvec_window(pan, u_loc, interpret=True)
+            full = scatter_window_to_full(pan, part)
+            return jax.lax.psum(full, "rows")
+
+        y = jax.shard_map(
+            fwd, mesh=mesh, in_specs=(P("rows"), P("rows")),
+            out_specs=P("rows"), check_vma=False)(panels, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), A @ x, rtol=2e-5,
+                                   atol=1e-5)
+        z = jax.shard_map(
+            rmv, mesh=mesh, in_specs=(P("rows"), P("rows")),
+            out_specs=P(), check_vma=False)(panels, jnp.asarray(u))
+        np.testing.assert_allclose(np.asarray(z), A.T @ u, rtol=2e-5,
+                                   atol=1e-5)
