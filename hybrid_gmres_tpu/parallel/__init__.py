@@ -18,6 +18,12 @@ from hybrid_gmres_tpu.parallel.sharded_pallas import (
     ab_gmres_sharded_pallas,
     ba_gmres_sharded_pallas,
 )
+from hybrid_gmres_tpu.parallel.sharded_gkb import (
+    hybrid_lsmr_sharded,
+    hybrid_lsqr_sharded,
+    lsmr_sharded,
+    lsqr_sharded,
+)
 from hybrid_gmres_tpu.parallel.multihost import initialize_multihost
 
 __all__ = [
@@ -33,5 +39,9 @@ __all__ = [
     "comms_bytes_per_iteration",
     "ba_gmres_sharded_pallas",
     "ab_gmres_sharded_pallas",
+    "lsqr_sharded",
+    "hybrid_lsqr_sharded",
+    "lsmr_sharded",
+    "hybrid_lsmr_sharded",
     "initialize_multihost",
 ]

@@ -1,0 +1,540 @@
+"""Row-sharded Golub–Kahan family: LSQR / LSMR and their hybrids.
+
+Distributed twins of ``solvers/lsqr.py`` / ``solvers/lsmr.py`` (reference
+recurrences ``lsqr_solver.m:20-47``, ``hybrid_lsqr_solver.m:21-46``,
+``lsmr_solver.m:32-77``, ``hybrid_lsmr_solver.m:26-45``), completing the
+reference's equivalence story (``run_equivalence_plots.m:12-22``) at scale:
+
+  * A is row-partitioned over the mesh (dense (m/p, n) slabs or the tuned
+    Pallas :class:`~hybrid_gmres_tpu.parallel.panels.ShardedPanels`);
+  * u-space (ray) vectors are m-sharded, v-space (image) vectors n-sharded;
+  * each GKB half-step costs ONE collective: the forward matvec gathers the
+    n-sharded v (windowed ppermute hops or all_gather — the same exchange
+    as the sharded GMRES path), the adjoint matvec reduce-scatters its
+    partial straight onto the n-sharding;
+  * the Givens/rotation recurrences are scalar and replicated (free).
+
+The exact-adjoint pair both half-steps need (``lsqr_solver.m:22-28``) is
+served by the SAME panel through the forward and transposed kernels, so
+``<A v, u> == <v, A^T u>`` holds to float reassociation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hybrid_gmres_tpu.krylov.projected import projected_gram_tikhonov_solve
+from hybrid_gmres_tpu.parallel.panels import (
+    ShardedPanels,
+    gather_window,
+    local_matvec,
+    local_rmatvec_window,
+    scatter_window_to_full,
+)
+from hybrid_gmres_tpu.solvers.common import GKBResult
+
+__all__ = [
+    "lsqr_sharded",
+    "hybrid_lsqr_sharded",
+    "lsmr_sharded",
+    "hybrid_lsmr_sharded",
+]
+
+
+def _prep(A, b, maxit, mesh, axis):
+    if mesh is None:
+        from hybrid_gmres_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_name=axis)
+    p = mesh.devices.size
+    is_panels = isinstance(A, ShardedPanels)
+    m, n = A.shape
+    if is_panels and A.p != p:
+        raise ValueError(f"panels built for p={A.p}, mesh has {p}")
+    if m % p or n % p:
+        raise ValueError(f"mesh size {p} must divide m={m} and n={n}")
+    if maxit is None:
+        maxit = min(m, n)
+    return mesh, p, m, n, int(maxit), is_panels
+
+
+def _local_ops(A_loc, is_panels, axis, dtype, interpret):
+    """(matvec, rmatvec, fro_sq_local) on the shard-local operator slab.
+
+    matvec: n-sharded v -> m-sharded u rows (one gather collective).
+    rmatvec: m-sharded u -> n-sharded v slab (one reduce_scatter).
+    """
+    if is_panels:
+        def matvec(v_loc):
+            xw = gather_window(A_loc, v_loc, axis)
+            return local_matvec(A_loc, xw, interpret=interpret).astype(dtype)
+
+        def rmatvec(u_loc):
+            part = local_rmatvec_window(A_loc, u_loc, interpret=interpret)
+            full = scatter_window_to_full(A_loc, part).astype(dtype)
+            return jax.lax.psum_scatter(full, axis, scatter_dimension=0,
+                                        tiled=True)
+
+        fro_sq = sum(jnp.sum(blocks[0].astype(jnp.float32) ** 2)
+                     for blocks, _ in A_loc.buckets).astype(dtype)
+    else:
+        def matvec(v_loc):
+            v_full = jax.lax.all_gather(v_loc, axis, tiled=True)
+            return A_loc @ v_full
+
+        def rmatvec(u_loc):
+            part = A_loc.T @ u_loc
+            return jax.lax.psum_scatter(part, axis, scatter_dimension=0,
+                                        tiled=True)
+
+        fro_sq = jnp.sum(A_loc * A_loc)
+    return matvec, rmatvec, fro_sq
+
+
+def _collectives(axis, dtype):
+    def pdot(u_loc, v_loc):
+        return jax.lax.psum(jnp.dot(u_loc, v_loc), axis)
+
+    def pnorm(u_loc):
+        return jnp.sqrt(pdot(u_loc, u_loc))
+
+    def pnormalize(v_loc):
+        nrm = pnorm(v_loc)
+        ok = nrm > 0
+        safe = jnp.where(ok, nrm, jnp.ones((), dtype))
+        return (jnp.where(ok, v_loc / safe, jnp.zeros_like(v_loc)), nrm, ok)
+
+    return pdot, pnorm, pnormalize
+
+
+def _specs(is_panels, axis):
+    A_spec = P(axis) if is_panels else P(axis, None)
+    return (A_spec, P(axis), P(axis))
+
+
+def lsqr_sharded(
+    A,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    maxit: int | None = None,
+    mesh: Mesh | None = None,
+    axis: str = "rows",
+    interpret: bool = False,
+) -> GKBResult:
+    """Sharded LSQR (``lsqr_solver.m:20-47`` semantics: cheap per-iteration
+    residual estimate ``|phi_bar|/||b||`` with the final entry patched to the
+    true residual).  ``A``: dense (m, n) array or :class:`ShardedPanels`."""
+    mesh, p, m, n, maxit, is_panels = _prep(A, b, maxit, mesh, axis)
+    dtype = b.dtype
+    have_xt = x_true is not None
+    if not have_xt:
+        x_true = jnp.zeros((n,), dtype=dtype)
+
+    def solver(A_loc, b_loc, xt_loc):
+        matvec, rmatvec, _ = _local_ops(A_loc, is_panels, axis, dtype,
+                                        interpret)
+        pdot, pnorm, pnormalize = _collectives(axis, dtype)
+        nloc = n // p
+
+        b_norm = pnorm(b_loc)
+        xt_norm = pnorm(xt_loc)
+        u, beta, _ = pnormalize(b_loc)
+        v, alpha, _ = pnormalize(rmatvec(u))
+        w = v
+        x0 = jnp.zeros((nloc,), dtype=dtype)
+
+        def step(carry, k):
+            x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters = carry
+            uhat = matvec(v) - alpha_c * u
+            u_n, beta_k, ok_u = pnormalize(uhat)
+            vhat = rmatvec(u_n) - beta_k * v
+            v_n, alpha_n, ok_v = pnormalize(vhat)
+
+            rho = jnp.hypot(rho_bar, beta_k)
+            c = rho_bar / rho
+            s = beta_k / rho
+            theta = s * alpha_n
+            rho_bar_n = -c * alpha_n
+            phi = c * phi_bar
+            phi_bar_n = s * phi_bar
+
+            x_n = x + (phi / rho) * w
+            w_n = v_n - (theta / rho) * w
+
+            res_k = jnp.abs(phi_bar_n) / b_norm
+            err_k = pnorm(x_n - xt_loc) / xt_norm
+
+            ok = ok_u & ok_v
+            adopt = active & ok
+            nan = jnp.asarray(jnp.nan, dtype)
+            x = jax.lax.select(adopt, x_n, x)
+            u = jax.lax.select(adopt, u_n, u)
+            v = jax.lax.select(adopt, v_n, v)
+            w = jax.lax.select(adopt, w_n, w)
+            phi_bar = jnp.where(adopt, phi_bar_n, phi_bar)
+            rho_bar = jnp.where(adopt, rho_bar_n, rho_bar)
+            alpha_c = jnp.where(adopt, alpha_n, alpha_c)
+            res_rec = jnp.where(adopt, res_k, nan)
+            err_rec = jnp.where(adopt, err_k, nan)
+            niters = jnp.where(adopt, k + 1, niters)
+            active = adopt & (res_k > tol)
+            return (x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters), \
+                (res_rec, err_rec)
+
+        carry0 = (x0, u, v, w, beta, alpha, alpha, jnp.bool_(True),
+                  jnp.int32(0))
+        (x, *_rest, niters), (res_hist, err_hist) = jax.lax.scan(
+            step, carry0, jnp.arange(maxit, dtype=jnp.int32))
+
+        # Final-entry patch with the true residual (lsqr_solver.m:52).
+        true_res = pnorm(b_loc - matvec(x)) / b_norm
+        slot = jnp.maximum(niters - 1, 0)
+        res_hist = res_hist.at[slot].set(
+            jnp.where(niters > 0, true_res, res_hist[slot]))
+        return x, err_hist, res_hist, niters
+
+    f = jax.shard_map(
+        solver, mesh=mesh, in_specs=_specs(is_panels, axis),
+        out_specs=(P(axis), P(), P(), P()), check_vma=False)
+    x, err_hist, res_hist, niters = f(A, b, x_true)
+    if not have_xt:
+        err_hist = jnp.full_like(err_hist, jnp.nan)
+    return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
+                     niters=niters)
+
+
+def hybrid_lsqr_sharded(
+    A,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    maxit: int | None = None,
+    lam: float = 1e-3,
+    mesh: Mesh | None = None,
+    axis: str = "rows",
+    interpret: bool = False,
+) -> GKBResult:
+    """Sharded LSQR on the Tikhonov-augmented system ``[A; sqrt(lam) I]``
+    (``hybrid_lsqr_solver.m:5-6``).  The augmented u-vector lives as an
+    (m-sharded, n-sharded) pair — the sqrt(lam)·I block is shard-diagonal so
+    it costs no communication; the per-iteration residual is tracked against
+    the UNAUGMENTED system (``hybrid_lsqr_solver.m:43``, one extra matvec)."""
+    mesh, p, m, n, maxit, is_panels = _prep(A, b, maxit, mesh, axis)
+    dtype = b.dtype
+    have_xt = x_true is not None
+    if not have_xt:
+        x_true = jnp.zeros((n,), dtype=dtype)
+
+    def solver(A_loc, b_loc, xt_loc):
+        matvec, rmatvec, _ = _local_ops(A_loc, is_panels, axis, dtype,
+                                        interpret)
+        pdot, pnorm, _ = _collectives(axis, dtype)
+        nloc = n // p
+        sql = jnp.sqrt(jnp.asarray(lam, dtype))
+
+        def aug_matvec(v_loc):
+            return matvec(v_loc), sql * v_loc
+
+        def aug_rmatvec(um_loc, un_loc):
+            return rmatvec(um_loc) + sql * un_loc
+
+        def aug_pnorm(um_loc, un_loc):
+            return jnp.sqrt(pdot(um_loc, um_loc) + pdot(un_loc, un_loc))
+
+        def aug_normalize(um_loc, un_loc):
+            nrm = aug_pnorm(um_loc, un_loc)
+            ok = nrm > 0
+            safe = jnp.where(ok, nrm, jnp.ones((), dtype))
+            z = jnp.zeros((), dtype)
+            return (jnp.where(ok, um_loc / safe, z),
+                    jnp.where(ok, un_loc / safe, z), nrm, ok)
+
+        def v_normalize(v_loc):
+            nrm = pnorm(v_loc)
+            ok = nrm > 0
+            safe = jnp.where(ok, nrm, jnp.ones((), dtype))
+            return jnp.where(ok, v_loc / safe, jnp.zeros_like(v_loc)), nrm, ok
+
+        b_norm = pnorm(b_loc)
+        xt_norm = pnorm(xt_loc)
+        um, un, beta, _ = aug_normalize(b_loc, jnp.zeros((nloc,), dtype))
+        v, alpha, _ = v_normalize(aug_rmatvec(um, un))
+        w = v
+        x0 = jnp.zeros((nloc,), dtype=dtype)
+
+        def step(carry, k):
+            (x, um, un, v, w, phi_bar, rho_bar, alpha_c, active,
+             niters) = carry
+            mv_m, mv_n = aug_matvec(v)
+            u_nm, u_nn, beta_k, ok_u = aug_normalize(
+                mv_m - alpha_c * um, mv_n - alpha_c * un)
+            vhat = aug_rmatvec(u_nm, u_nn) - beta_k * v
+            v_n, alpha_n, ok_v = v_normalize(vhat)
+
+            rho = jnp.hypot(rho_bar, beta_k)
+            c = rho_bar / rho
+            s = beta_k / rho
+            theta = s * alpha_n
+            rho_bar_n = -c * alpha_n
+            phi = c * phi_bar
+            phi_bar_n = s * phi_bar
+
+            x_n = x + (phi / rho) * w
+            w_n = v_n - (theta / rho) * w
+
+            res_k = pnorm(b_loc - matvec(x_n)) / b_norm
+            err_k = pnorm(x_n - xt_loc) / xt_norm
+
+            ok = ok_u & ok_v
+            adopt = active & ok
+            nan = jnp.asarray(jnp.nan, dtype)
+            x = jax.lax.select(adopt, x_n, x)
+            um = jax.lax.select(adopt, u_nm, um)
+            un = jax.lax.select(adopt, u_nn, un)
+            v = jax.lax.select(adopt, v_n, v)
+            w = jax.lax.select(adopt, w_n, w)
+            phi_bar = jnp.where(adopt, phi_bar_n, phi_bar)
+            rho_bar = jnp.where(adopt, rho_bar_n, rho_bar)
+            alpha_c = jnp.where(adopt, alpha_n, alpha_c)
+            res_rec = jnp.where(adopt, res_k, nan)
+            err_rec = jnp.where(adopt, err_k, nan)
+            niters = jnp.where(adopt, k + 1, niters)
+            active = adopt & (res_k > tol)
+            return (x, um, un, v, w, phi_bar, rho_bar, alpha_c, active,
+                    niters), (res_rec, err_rec)
+
+        carry0 = (x0, um, un, v, w, beta, alpha, alpha, jnp.bool_(True),
+                  jnp.int32(0))
+        (x, *_rest, niters), (res_hist, err_hist) = jax.lax.scan(
+            step, carry0, jnp.arange(maxit, dtype=jnp.int32))
+        return x, err_hist, res_hist, niters
+
+    f = jax.shard_map(
+        solver, mesh=mesh, in_specs=_specs(is_panels, axis),
+        out_specs=(P(axis), P(), P(), P()), check_vma=False)
+    x, err_hist, res_hist, niters = f(A, b, x_true)
+    if not have_xt:
+        err_hist = jnp.full_like(err_hist, jnp.nan)
+    return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
+                     niters=niters)
+
+
+def lsmr_sharded(
+    A,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    maxit: int | None = None,
+    mesh: Mesh | None = None,
+    axis: str = "rows",
+    interpret: bool = False,
+) -> GKBResult:
+    """Sharded LSMR (``lsmr_solver.m:32-77``): GKB + double plane rotations,
+    with the TRUE residual and ``||A^T r||`` histories per iteration."""
+    mesh, p, m, n, maxit, is_panels = _prep(A, b, maxit, mesh, axis)
+    dtype = b.dtype
+    eps = jnp.finfo(dtype).eps
+    have_xt = x_true is not None
+    if not have_xt:
+        x_true = jnp.zeros((n,), dtype=dtype)
+
+    def solver(A_loc, b_loc, xt_loc):
+        matvec, rmatvec, fro_sq_loc = _local_ops(A_loc, is_panels, axis,
+                                                 dtype, interpret)
+        pdot, pnorm, pnormalize = _collectives(axis, dtype)
+        nloc = n // p
+        fro_norm = jnp.sqrt(jax.lax.psum(fro_sq_loc, axis))
+
+        b_norm = pnorm(b_loc)
+        xt_norm = pnorm(xt_loc)
+        u, beta1, _ = pnormalize(b_loc)
+        v, alpha1, _ = pnormalize(rmatvec(u))
+        x0 = jnp.zeros((nloc,), dtype=dtype)
+        h0 = v
+        hbar0 = jnp.zeros((nloc,), dtype=dtype)
+
+        def step(carry, k):
+            (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar, cbar,
+             sbar, active, niters) = carry
+
+            u_n, beta_k, ok_u = pnormalize(matvec(v) - alpha * u)
+            v_n, alpha_n, ok_v = pnormalize(rmatvec(u_n) - beta_k * v)
+
+            alphahat = alphabar
+            rhoold = rho
+            rho_n = jnp.hypot(alphahat, beta_k)
+            c = alphahat / rho_n
+            s = beta_k / rho_n
+
+            thetanew = s * alpha_n
+            alphabar_n = c * alpha_n
+
+            rhobarold = rhobar
+            thetabar = sbar * rho_n
+            rhobar_n = jnp.hypot(cbar * rho_n, thetanew)
+            cbar_n = (cbar * rho_n) / rhobar_n
+            sbar_n = thetanew / rhobar_n
+
+            zeta = cbar_n * zetabar
+            zetabar_n = -sbar_n * zetabar
+
+            hbar_n = h - (thetabar * rho_n) / (rhoold * rhobarold) * hbar
+            x_n = x + (zeta / (rho_n * rhobar_n)) * hbar_n
+            h_n = v_n - (thetanew / rho_n) * h
+
+            r_loc = b_loc - matvec(x_n)
+            r_norm = pnorm(r_loc)
+            res_k = r_norm / (b_norm + eps)
+            ar_k = pnorm(rmatvec(r_loc)) / (
+                fro_norm * jnp.maximum(r_norm, eps))
+            err_k = pnorm(x_n - xt_loc) / xt_norm
+
+            adopt = active & ok_u & ok_v
+            nan = jnp.asarray(jnp.nan, dtype)
+            sel = lambda a, b_: jax.lax.select(adopt, a, b_)
+            x, u, v, h, hbar = (sel(x_n, x), sel(u_n, u), sel(v_n, v),
+                                sel(h_n, h), sel(hbar_n, hbar))
+            alpha = jnp.where(adopt, alpha_n, alpha)
+            zetabar = jnp.where(adopt, zetabar_n, zetabar)
+            alphabar = jnp.where(adopt, alphabar_n, alphabar)
+            rho = jnp.where(adopt, rho_n, rho)
+            rhobar = jnp.where(adopt, rhobar_n, rhobar)
+            cbar = jnp.where(adopt, cbar_n, cbar)
+            sbar = jnp.where(adopt, sbar_n, sbar)
+            res_rec = jnp.where(adopt, res_k, nan)
+            err_rec = jnp.where(adopt, err_k, nan)
+            ar_rec = jnp.where(adopt, ar_k, nan)
+            niters = jnp.where(adopt, k + 1, niters)
+            active = adopt & (res_k >= tol)
+            return (
+                (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar,
+                 cbar, sbar, active, niters),
+                (res_rec, err_rec, ar_rec),
+            )
+
+        one = jnp.ones((), dtype)
+        carry0 = (
+            x0, u, v, h0, hbar0, alpha1, alpha1 * beta1, alpha1, one, one,
+            one, jnp.zeros((), dtype), jnp.bool_(True), jnp.int32(0),
+        )
+        (x, *_rest, niters), (res_hist, err_hist, ar_hist) = jax.lax.scan(
+            step, carry0, jnp.arange(maxit, dtype=jnp.int32))
+        return x, err_hist, res_hist, niters, ar_hist
+
+    f = jax.shard_map(
+        solver, mesh=mesh, in_specs=_specs(is_panels, axis),
+        out_specs=(P(axis), P(), P(), P(), P()), check_vma=False)
+    x, err_hist, res_hist, niters, ar_hist = f(A, b, x_true)
+    if not have_xt:
+        err_hist = jnp.full_like(err_hist, jnp.nan)
+    return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
+                     niters=niters, ar_hist=ar_hist)
+
+
+def hybrid_lsmr_sharded(
+    A,
+    b,
+    x_true=None,
+    tol: float = 1e-6,
+    maxit: int | None = None,
+    lam: float = 1e-3,
+    rank1_mode: str = "last",
+    mesh: Mesh | None = None,
+    axis: str = "rows",
+    interpret: bool = False,
+) -> GKBResult:
+    """Sharded hybrid LSMR: GKB with the right basis V row-sharded over the
+    image axis, bidiagonal B_k replicated, and the per-iteration shifted
+    projected solve (``hybrid_lsmr_solver.m:37-45``) replicated (tiny).
+
+    Unlike the single-chip variant's ``lax.cond``, the final-iteration basis
+    advance always executes (its collectives must run on every shard) and
+    the stale-alpha semantics are recovered with selects."""
+    if rank1_mode not in ("last", "first"):
+        raise ValueError("rank1_mode must be 'last' or 'first'")
+    mesh, p, m, n, maxit, is_panels = _prep(A, b, maxit, mesh, axis)
+    dtype = b.dtype
+    have_xt = x_true is not None
+    if not have_xt:
+        x_true = jnp.zeros((n,), dtype=dtype)
+
+    def solver(A_loc, b_loc, xt_loc):
+        matvec, rmatvec, _ = _local_ops(A_loc, is_panels, axis, dtype,
+                                        interpret)
+        pdot, pnorm, pnormalize = _collectives(axis, dtype)
+        nloc = n // p
+
+        b_norm = pnorm(b_loc)
+        xt_norm = pnorm(xt_loc)
+        u, beta1, _ = pnormalize(b_loc)
+        v, alpha1, _ = pnormalize(rmatvec(u))
+        V0 = jnp.zeros((nloc, maxit), dtype=dtype).at[:, 0].set(v)
+        Bmat0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
+        x0 = jnp.zeros((nloc,), dtype=dtype)
+
+        def step(carry, k):
+            x, u, v, V, Bmat, alpha, active, niters = carry
+            kdim = k + 1
+
+            Bmat_n = Bmat.at[k, k].set(alpha)
+            u_n, beta_k, ok_u = pnormalize(matvec(v) - alpha * u)
+            Bmat_n = Bmat_n.at[k + 1, k].set(beta_k)
+
+            # Always run the advance (collectives must execute on every
+            # shard every iteration); the final iteration keeps the stale
+            # alpha/v via selects (hybrid_lsmr_solver.m:26-33 semantics).
+            v2, alpha2, ok2 = pnormalize(rmatvec(u_n) - beta_k * v)
+            adv = k < maxit - 1
+            v_n = jax.lax.select(adv, v2, v)
+            alpha_n = jnp.where(adv, alpha2, alpha)
+            ok_v = jnp.where(adv, ok2, jnp.bool_(True))
+            V_n = jax.lax.select(
+                adv, V.at[:, jnp.minimum(k + 1, maxit - 1)].set(v2), V)
+
+            BtB = Bmat_n.T @ Bmat_n
+            G = BtB @ BtB
+            coef = (alpha_n * beta_k) ** 2
+            if rank1_mode == "last":
+                e_idx = kdim - 1
+            else:
+                e_idx = jnp.zeros((), jnp.int32)
+            e_vec = jax.nn.one_hot(e_idx, maxit, dtype=dtype)
+            G = G + coef * jnp.outer(e_vec, e_vec)
+            rhs = alpha1 * beta1 * BtB[:, 0]
+            y = projected_gram_tikhonov_solve(G, rhs, lam, kdim)
+            x_n = V_n @ y
+
+            res_k = pnorm(b_loc - matvec(x_n)) / b_norm
+            err_k = pnorm(x_n - xt_loc) / xt_norm
+
+            adopt = active & ok_u & ok_v
+            nan = jnp.asarray(jnp.nan, dtype)
+            x = jax.lax.select(adopt, x_n, x)
+            u = jax.lax.select(adopt, u_n, u)
+            v = jax.lax.select(adopt, v_n, v)
+            V = jax.lax.select(adopt, V_n, V)
+            Bmat = jax.lax.select(adopt, Bmat_n, Bmat)
+            alpha = jnp.where(adopt, alpha_n, alpha)
+            res_rec = jnp.where(adopt, res_k, nan)
+            err_rec = jnp.where(adopt, err_k, nan)
+            niters = jnp.where(adopt, kdim, niters)
+            active = adopt & (res_k > tol)
+            return (x, u, v, V, Bmat, alpha, active, niters), \
+                (res_rec, err_rec)
+
+        carry0 = (x0, u, v, V0, Bmat0, alpha1, jnp.bool_(True), jnp.int32(0))
+        (x, *_rest, niters), (res_hist, err_hist) = jax.lax.scan(
+            step, carry0, jnp.arange(maxit, dtype=jnp.int32))
+        return x, err_hist, res_hist, niters
+
+    f = jax.shard_map(
+        solver, mesh=mesh, in_specs=_specs(is_panels, axis),
+        out_specs=(P(axis), P(), P(), P()), check_vma=False)
+    x, err_hist, res_hist, niters = f(A, b, x_true)
+    if not have_xt:
+        err_hist = jnp.full_like(err_hist, jnp.nan)
+    return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
+                     niters=niters)

@@ -1,0 +1,142 @@
+"""Mosaic-compiled kernel oracles on the real chip.
+
+These mirror the CPU interpret-mode tests in tests/test_sparse.py but run
+the actual TPU lowering: forward / transposed bucketed block-ELL kernels,
+the int8 quantized operator (incl. the exact-adjoint property GKB needs),
+and the packaged Morton-ordered CT operator path.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def _random_csr(m, n, density=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    A = sp.random(m, n, density=density, random_state=seed, format="csr",
+                  dtype=np.float64)
+    A.data = rng.standard_normal(A.nnz)
+    return A.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def ops():
+    from hybrid_gmres_tpu.ops.spmv_pallas import PallasBSROperator
+
+    A = _random_csr(1024, 512)
+    ops = {}
+    for dt in (jnp.float32, jnp.bfloat16, jnp.int8):
+        ops[jnp.dtype(dt).name] = PallasBSROperator.from_csr(
+            A, dtype=dt, with_adjoint=True)
+    return A, ops
+
+
+def test_forward_kernel_matches_csr(ops):
+    A, d = ops
+    x = np.random.default_rng(1).standard_normal(A.shape[1]).astype(
+        np.float32)
+    want = A @ x
+    got = np.asarray(jax.block_until_ready(d["float32"].matvec(
+        jnp.asarray(x))))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+    got_bf = np.asarray(d["bfloat16"].matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got_bf, want, rtol=2e-2, atol=5e-2)
+
+
+def test_transposed_kernel_matches_csr(ops):
+    A, d = ops
+    u = np.random.default_rng(2).standard_normal(A.shape[0]).astype(
+        np.float32)
+    want = A.T @ u
+    got = np.asarray(d["float32"].rmatvec(jnp.asarray(u)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_fallback_rmatvec_without_adjoint_panel():
+    from hybrid_gmres_tpu.ops.spmv_pallas import PallasBSROperator
+
+    A = _random_csr(512, 256, seed=3)
+    op = PallasBSROperator.from_csr(A, dtype=jnp.float32, with_adjoint=False)
+    u = np.random.default_rng(3).standard_normal(512).astype(np.float32)
+    got = np.asarray(op.rmatvec(jnp.asarray(u)))
+    np.testing.assert_allclose(got, A.T @ u, rtol=2e-5, atol=1e-4)
+
+
+def test_int8_operator_quality_and_exact_adjoint(ops):
+    """int8 storage: ~1e-2-scale relative matvec error on random data (CT
+    rows are much friendlier), and <A x, u> == <x, A^T u> to f32 roundoff —
+    the exact-adjoint pair GKB requires (ADVICE r1 medium)."""
+    A, d = ops
+    op = d["int8"]
+    assert op.dtype == jnp.dtype(jnp.float32)     # compute dtype
+    assert op.storage_dtype == jnp.dtype(jnp.int8)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(A.shape[1]).astype(np.float32)
+    u = rng.standard_normal(A.shape[0]).astype(np.float32)
+    ax = np.asarray(op.matvec(jnp.asarray(x)))
+    atu = np.asarray(op.rmatvec(jnp.asarray(u)))
+    # quality vs the exact product
+    denom = np.linalg.norm(A @ x)
+    assert np.linalg.norm(ax - A @ x) / denom < 2e-2
+    # exact adjoint pair
+    lhs = float(np.dot(ax, u))
+    rhs = float(np.dot(x, atu))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-6) < 1e-5, (lhs, rhs)
+
+
+def test_ct_tpu_operators_match_csr():
+    """Packaged production path (Morton ordering + tuned blocks/row groups)
+    reproduces the CSR products on device."""
+    from hybrid_gmres_tpu.problems.ct import ct_mismatched, ct_tpu_operators
+
+    prob = ct_mismatched(n=32, n_angles=90, n_det=90, dense=False)
+    A_op, B_op, b_p, x_p, ray_perm, pix_perm = ct_tpu_operators(
+        prob, dtype=jnp.bfloat16)
+    A_csr = prob.A_csr.astype(np.float32)
+    B_csr = prob.B_csr.astype(np.float32)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(A_csr.shape[1]).astype(np.float32)
+    u = rng.standard_normal(A_csr.shape[0]).astype(np.float32)
+
+    got_A = np.asarray(A_op.matvec(jnp.asarray(x[pix_perm])))
+    want_A = (A_csr @ x)[ray_perm]
+    assert (np.linalg.norm(got_A - want_A) / np.linalg.norm(want_A)) < 5e-3
+
+    got_B = np.asarray(B_op.matvec(jnp.asarray(u[ray_perm])))
+    want_B = (B_csr @ u)[pix_perm]
+    assert (np.linalg.norm(got_B - want_B) / np.linalg.norm(want_B)) < 5e-3
+
+
+def test_hybrid_ba_gmres_on_device_pallas_vs_dense():
+    """End-to-end solver on the chip: the full int8 fast path's histories
+    track the dense-f32 operator run on the same problem."""
+    from hybrid_gmres_tpu.problems.ct import ct_mismatched, ct_tpu_operators
+    from hybrid_gmres_tpu.ops.linear_operator import DenseOperator
+    from hybrid_gmres_tpu.solvers.gmres import ba_gmres
+
+    prob = ct_mismatched(n=32, n_angles=90, n_det=90, dense=False)
+    A_op, B_op, b_p, x_p, ray_perm, pix_perm = ct_tpu_operators(
+        prob, dtype=jnp.int8)
+    rng = np.random.default_rng(0)
+    e = rng.standard_normal(prob.b_exact.shape)
+    e = e / np.linalg.norm(e) * 0.25 * float(jnp.linalg.norm(prob.b_exact))
+    b = (jnp.asarray(prob.b_exact) + jnp.asarray(e)).astype(jnp.float32)
+
+    maxit = 30
+    r_fast = ba_gmres(A_op, B_op, b[np.asarray(ray_perm)],
+                      jnp.asarray(prob.x_true)[np.asarray(pix_perm)],
+                      tol=0.0, maxit=maxit, lam=1e-2, residual="fused")
+    Ad = DenseOperator(jnp.asarray(prob.A_csr.toarray(), dtype=jnp.float32))
+    Bd = DenseOperator(jnp.asarray(prob.B_csr.toarray(), dtype=jnp.float32))
+    r_ref = ba_gmres(Ad, Bd, b, jnp.asarray(prob.x_true), tol=0.0,
+                     maxit=maxit, lam=1e-2)
+    err_fast = np.asarray(r_fast.err_hist)
+    err_ref = np.asarray(r_ref.err_hist)
+    assert np.isfinite(err_fast).all()
+    # semi-convergence minima agree (the scientifically meaningful number)
+    assert abs(np.nanmin(err_fast) - np.nanmin(err_ref)) < 0.03, (
+        np.nanmin(err_fast), np.nanmin(err_ref))
