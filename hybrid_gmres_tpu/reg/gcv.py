@@ -26,7 +26,7 @@ from hybrid_gmres_tpu.krylov.arnoldi import arnoldi
 from hybrid_gmres_tpu.krylov.projected import projected_tikhonov_solve
 
 
-def gcv_from_H(H, t, lam, trace_dim, kdim, weight=1.0):
+def gcv_from_H(H, t, lam, trace_dim, kdim, weight=1.0, R=None, rhs=None):
     """GCV value from a padded Hessenberg factorization.
 
     ``H``: (kmax+1, kmax) padded (columns >= kdim zero); ``t``: (kmax+1,)
@@ -35,9 +35,18 @@ def gcv_from_H(H, t, lam, trace_dim, kdim, weight=1.0):
 
     ``weight``: the weighted-GCV parameter omega (Chung/Nagy/O'Leary):
     denominator ``(N - omega * trace)^2``.  The default 1.0 is plain GCV
-    (reference parity); omega < 1 counteracts GCV's tendency to
-    under-regularize on projected problems (it can hit the lower search
-    bound at high noise — a bias the reference shares).
+    (reference parity).
+
+    ``R``/``rhs`` (optional): evaluate the numerator in the ORIGINAL data
+    space as ``||rhs - R y(lam)||^2`` with ``R`` the (m, kmax) image of the
+    solution basis (BA: ``A Q_k``).  The reference's projected numerator
+    ``||t - Hbar y||^2`` (``gcv_function.m:38-40``) vanishes as lam -> 0 for
+    BA-GMRES — the n-space Krylov residual forgets the data noise that B
+    already smoothed — which drives the minimizer into the lower search
+    bound; no wGCV omega can repair a vanishing numerator (measured:
+    omega in [0.5, 1.6] all select the 1e-9 floor on shaw).  For AB the two
+    numerators are identical by the Arnoldi relation
+    ``A B Q_k = Q_{k+1} Hbar_k`` (r0 = b), so this only changes BA.
     """
     kmax = H.shape[1]
     dtype = H.dtype
@@ -45,7 +54,10 @@ def gcv_from_H(H, t, lam, trace_dim, kdim, weight=1.0):
     col = jnp.arange(kmax)
     H = jnp.where(col[None, :] < kdim, H, jnp.zeros((), dtype))
     y = projected_tikhonov_solve(H, t, lam, kdim)
-    resid = t - H @ y
+    if R is None:
+        resid = t - H @ y
+    else:
+        resid = rhs - R @ y
     residual_norm_sq = jnp.sum(resid * resid)
 
     # Singular values of the square block H_k: svd of the padded square part
@@ -85,19 +97,50 @@ def _arnoldi_for(gcv_type, A, B, b, k_gcv, breakdown_tol=1e-12):
         raise ValueError("gcv_type must be 'ab' or 'ba'")
     Q, H, beta, nsteps = arnoldi(mv, r0, int(k_gcv), breakdown_tol=breakdown_tol)
     t = jnp.zeros((int(k_gcv) + 1,), dtype=H.dtype).at[0].set(beta)
-    return H, t, trace_dim, nsteps
+    return H, t, trace_dim, nsteps, Q
 
 
-def gcv_curve(gcv_type, A, B, b, k_gcv, lam_grid, weight=1.0):
+def _original_space_R(gcv_type, A, B, b, Q, H):
+    """(R, rhs) for the original-space GCV numerator ``||b - R y||``.
+
+    BA: the iterate is ``x = Q_k y`` so the data-space image is
+    ``R = A Q_k`` (k extra matvecs, factor-once like the Arnoldi).
+    AB: ``x = B Q_k y`` and ``A B Q_k = Q_{k+1} Hbar_k``, so ``R = Q Hbar``
+    costs no matvecs (and equals the projected numerator exactly).
+    """
+    A = as_operator(A)
+    kmax = H.shape[1]
+    if gcv_type == "ab":
+        return Q @ H, b
+    R = jax.vmap(A.matvec, in_axes=1, out_axes=1)(Q[:, :kmax])
+    return R, b
+
+
+def gcv_curve(gcv_type, A, B, b, k_gcv, lam_grid, weight=1.0,
+              residual_space="projected"):
     """GCV(lam) over a grid at fixed Krylov dimension k_gcv (factor once + vmap).
 
     Note: like ``gcv_function.m:33`` the projected dimension stays k_gcv even
     if Arnoldi broke down early (the trailing columns are zero).
+
+    ``residual_space``: "projected" (reference parity, ``gcv_function.m:38``)
+    or "original" (data-space numerator; fixes the BA floor-hitting bias —
+    see :func:`gcv_from_H`).
     """
-    H, t, trace_dim, _ = _arnoldi_for(gcv_type, A, B, b, k_gcv)
+    H, t, trace_dim, _, Q = _arnoldi_for(gcv_type, A, B, b, k_gcv)
+    R, rhs = _maybe_original(residual_space, gcv_type, A, B, b, Q, H)
     kdim = jnp.int32(k_gcv)
-    f = jax.vmap(lambda lam: gcv_from_H(H, t, lam, trace_dim, kdim, weight))
+    f = jax.vmap(lambda lam: gcv_from_H(H, t, lam, trace_dim, kdim, weight,
+                                        R, rhs))
     return f(jnp.asarray(lam_grid, dtype=H.dtype))
+
+
+def _maybe_original(residual_space, gcv_type, A, B, b, Q, H):
+    if residual_space == "projected":
+        return None, None
+    if residual_space != "original":
+        raise ValueError("residual_space must be 'projected' or 'original'")
+    return _original_space_R(gcv_type, A, B, b, Q, H)
 
 
 def gcv_surface(gcv_type, A, B, b, k_range, lam_grid):
@@ -109,7 +152,7 @@ def gcv_surface(gcv_type, A, B, b, k_range, lam_grid):
     Returns ``(surface, path)`` with surface shape (len(lam_grid), len(k_range)).
     """
     kmax = int(max(k_range))
-    H, t, trace_dim, nsteps = _arnoldi_for(gcv_type, A, B, b, kmax)
+    H, t, trace_dim, nsteps, _ = _arnoldi_for(gcv_type, A, B, b, kmax)
     lam_grid = jnp.asarray(lam_grid, dtype=H.dtype)
     ks = jnp.asarray(list(k_range), dtype=jnp.int32)
 
@@ -195,14 +238,21 @@ def gcv_lambda(
     hi: float = 1e-1,
     tol: float = 1e-8,
     weight: float = 1.0,
+    residual_space: str = "projected",
 ):
     """GCV-optimal lambda via bounded minimization on the projected problem.
 
     Equivalent to the reference's ``fminbnd(gcv_function(...), 1e-9, 1e-1)``
     (``analyze_regularization.m:39-46``) but factors the Arnoldi once.
+
+    ``residual_space="original"`` evaluates the numerator against the
+    original data (recommended for 'ba', whose projected numerator vanishes
+    as lam -> 0 and parks the minimizer at ``lo`` — see :func:`gcv_from_H`).
     """
-    H, t, trace_dim, _ = _arnoldi_for(gcv_type, A, B, b, k_gcv)
+    H, t, trace_dim, _, Q = _arnoldi_for(gcv_type, A, B, b, k_gcv)
+    R, rhs = _maybe_original(residual_space, gcv_type, A, B, b, Q, H)
     kdim = jnp.int32(k_gcv)
-    g = jax.jit(lambda lam: gcv_from_H(H, t, lam, trace_dim, kdim, weight))
+    g = jax.jit(lambda lam: gcv_from_H(H, t, lam, trace_dim, kdim, weight,
+                                       R, rhs))
     lam_opt, gcv_val = minimize_scalar_bounded(g, lo, hi, tol=tol)
     return lam_opt, gcv_val

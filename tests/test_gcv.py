@@ -89,6 +89,41 @@ def test_gcv_lambda_near_true_optimal(setup):
     assert err_gcv < 3.0 * err_best, (err_gcv, err_best, lam_ab)
 
 
+def test_gcv_lambda_near_true_optimal_ba_original_space(setup):
+    """Oracle 5, BA side (VERDICT r1 #6).  Plain GCV's projected numerator
+    ||t - Hbar y||^2 vanishes as lam -> 0 for BA (B pre-smooths the noise
+    out of the n-space Krylov residual), parking fminbnd at the 1e-9 floor;
+    wGCV cannot fix a vanishing numerator (omega in [0.5, 1.6] measured to
+    all select the floor).  The original-space numerator ||b - A Q y||^2
+    restores an interior minimum and lands within 3x of the oracle error,
+    symmetric with AB."""
+    A, B, b, x_true = setup
+    lam_floor, _ = gcv_lambda("ba", A, B, b, k_gcv=20)
+    assert lam_floor <= 1.1e-9  # the reference-shared failure mode
+
+    lam_ba, _ = gcv_lambda("ba", A, B, b, k_gcv=20,
+                           residual_space="original")
+    assert lam_ba > 1e-8, lam_ba  # interior minimum, off the floor
+    sweep = lcurve_sweep("ba", A, B, b, x_true, np.logspace(-10, 0, 50),
+                         maxit=32)
+    r = hg.ba_gmres(A, B, b, x_true, tol=1e-6, maxit=32, lam=lam_ba)
+    err_gcv = float(r.err_hist[int(r.niters) - 1])
+    err_best = float(sweep.err_min)
+    assert err_gcv < 3.0 * err_best, (err_gcv, err_best, lam_ba)
+
+
+def test_gcv_original_space_equals_projected_for_ab(setup):
+    """For AB the Arnoldi relation A B Q_k = Q_{k+1} Hbar_k (r0 = b) makes
+    the original-space and projected numerators identical."""
+    A, B, b, x_true = setup
+    grid = jnp.asarray(np.logspace(-8, -1, 20))
+    v_proj = gcv_curve("ab", A, B, b, k_gcv=15, lam_grid=grid)
+    v_orig = gcv_curve("ab", A, B, b, k_gcv=15, lam_grid=grid,
+                       residual_space="original")
+    np.testing.assert_allclose(np.asarray(v_orig), np.asarray(v_proj),
+                               rtol=1e-8)
+
+
 def test_gcv_lambda_within_bounds(setup):
     A, B, b, x_true = setup
     for typ in ("ab", "ba"):
