@@ -39,8 +39,13 @@ def lsmr(
     tol: float = 1e-6,
     maxit: int | None = None,
     fro_norm=None,
+    reorth: bool = False,
 ) -> GKBResult:
-    """Standard LSMR (GKB + double QR recurrences)."""
+    """Standard LSMR (GKB + double QR recurrences).
+
+    ``reorth=True`` fully reorthogonalizes the GKB bases (O(maxit (m+n))
+    memory) — restores exact-arithmetic equivalence with BA-GMRES (B=A^T) to
+    final iterations on ill-conditioned operators."""
     A = as_operator(A)
     if maxit is None:
         maxit = min(A.shape)
@@ -57,16 +62,32 @@ def lsmr(
 
     error_fn = rel_error_fn(x_true)
     n = A.shape[1]
+    m = A.shape[0]
     x0 = jnp.zeros((n,), dtype=dtype)
     h0 = v
     hbar0 = jnp.zeros((n,), dtype=dtype)
+    if reorth:
+        U0 = jnp.zeros((m, maxit + 1), dtype=dtype).at[:, 0].set(u)
+        V0 = jnp.zeros((n, maxit + 1), dtype=dtype).at[:, 0].set(v)
+    else:
+        U0, V0 = None, None
+
+    def _purify(Basis, vec):
+        vec = vec - Basis @ (Basis.T @ vec)
+        return vec - Basis @ (Basis.T @ vec)
 
     def step(carry, k):
         (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar, cbar, sbar,
-         active, niters) = carry
+         active, niters, U, V) = carry
 
-        u_n, beta_k, ok_u = _safe_normalize(A.matvec(v) - alpha * u)
-        v_n, alpha_n, ok_v = _safe_normalize(A.rmatvec(u_n) - beta_k * v)
+        uhat = A.matvec(v) - alpha * u
+        if reorth:
+            uhat = _purify(U, uhat)
+        u_n, beta_k, ok_u = _safe_normalize(uhat)
+        vhat = A.rmatvec(u_n) - beta_k * v
+        if reorth:
+            vhat = _purify(V, vhat)
+        v_n, alpha_n, ok_v = _safe_normalize(vhat)
 
         alphahat = alphabar
         rhoold = rho
@@ -102,6 +123,9 @@ def lsmr(
         nan = jnp.asarray(jnp.nan, dtype)
         sel = lambda a, b_: jax.lax.select(adopt, a, b_)
         x, u, v, h, hbar = sel(x_n, x), sel(u_n, u), sel(v_n, v), sel(h_n, h), sel(hbar_n, hbar)
+        if reorth:
+            U = sel(U.at[:, k + 1].set(u_n), U)
+            V = sel(V.at[:, k + 1].set(v_n), V)
         alpha = jnp.where(adopt, alpha_n, alpha)
         zetabar = jnp.where(adopt, zetabar_n, zetabar)
         alphabar = jnp.where(adopt, alphabar_n, alphabar)
@@ -116,18 +140,19 @@ def lsmr(
         active = adopt & (res_k >= tol)
         return (
             (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar, cbar, sbar,
-             active, niters),
+             active, niters, U, V),
             (res_rec, err_rec, ar_rec),
         )
 
     one = jnp.ones((), dtype)
     carry0 = (
         x0, u, v, h0, hbar0, alpha1, alpha1 * beta1, alpha1, one, one, one,
-        jnp.zeros((), dtype), jnp.bool_(True), jnp.int32(0),
+        jnp.zeros((), dtype), jnp.bool_(True), jnp.int32(0), U0, V0,
     )
-    (x, *_rest, niters), (res_hist, err_hist, ar_hist) = jax.lax.scan(
+    carry_out, (res_hist, err_hist, ar_hist) = jax.lax.scan(
         step, carry0, jnp.arange(maxit, dtype=jnp.int32)
     )
+    x, niters = carry_out[0], carry_out[13]
     return GKBResult(
         x=x, err_hist=err_hist, res_hist=res_hist, niters=niters, ar_hist=ar_hist
     )

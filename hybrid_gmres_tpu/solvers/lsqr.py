@@ -32,21 +32,41 @@ def _lsqr_core(
     b_norm_for_estimate,
     maxit: int,
     tol: float,
+    reorth: bool = False,
 ):
     dtype = b_iter.dtype
     n = iter_op.shape[1]
+    m = iter_op.shape[0]
 
     u, beta, _ = _safe_normalize(b_iter)
     v, alpha, _ = _safe_normalize(iter_op.rmatvec(u))
     w = v
     x0 = jnp.zeros((n,), dtype=dtype)
+    # Full reorthogonalization stores the GKB bases and CGS2-purifies each
+    # new vector — O(maxit (m+n)) memory instead of O(1), used by the
+    # equivalence oracles to hold GMRES==LSQR to final iterations (the short
+    # recurrence alone loses orthogonality on ill-conditioned operators;
+    # run_equivalence_plots.m:26-47 overlays final solutions).
+    if reorth:
+        U0 = jnp.zeros((m, maxit + 1), dtype=dtype).at[:, 0].set(u)
+        V0 = jnp.zeros((n, maxit + 1), dtype=dtype).at[:, 0].set(v)
+    else:
+        U0, V0 = None, None
+
+    def _purify(Basis, vec):
+        vec = vec - Basis @ (Basis.T @ vec)
+        return vec - Basis @ (Basis.T @ vec)
 
     # The scan carries the GKB vectors (u, v, w) plus the Givens scalars.
     def step(carry, k):
-        x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters = carry
+        x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters, U, V = carry
         uhat = iter_op.matvec(v) - alpha_c * u
+        if reorth:
+            uhat = _purify(U, uhat)
         u_n, beta_k, ok_u = _safe_normalize(uhat)
         vhat = iter_op.rmatvec(u_n) - beta_k * v
+        if reorth:
+            vhat = _purify(V, vhat)
         v_n, alpha_n, ok_v = _safe_normalize(vhat)
 
         rho = jnp.hypot(rho_bar, beta_k)
@@ -73,6 +93,9 @@ def _lsqr_core(
         u = jax.lax.select(adopt, u_n, u)
         v = jax.lax.select(adopt, v_n, v)
         w = jax.lax.select(adopt, w_n, w)
+        if reorth:
+            U = jax.lax.select(adopt, U.at[:, k + 1].set(u_n), U)
+            V = jax.lax.select(adopt, V.at[:, k + 1].set(v_n), V)
         phi_bar = jnp.where(adopt, phi_bar_n, phi_bar)
         rho_bar = jnp.where(adopt, rho_bar_n, rho_bar)
         alpha_c = jnp.where(adopt, alpha_n, alpha_c)
@@ -80,12 +103,15 @@ def _lsqr_core(
         err_rec = jnp.where(adopt, err_k, nan)
         niters = jnp.where(adopt, k + 1, niters)
         active = adopt & (res_k > tol)
-        return (x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters), (res_rec, err_rec)
+        return (x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters, U, V), \
+            (res_rec, err_rec)
 
-    carry0 = (x0, u, v, w, beta, alpha, alpha, jnp.bool_(True), jnp.int32(0))
-    (x, *_rest, niters), (res_hist, err_hist) = jax.lax.scan(
-        step, carry0, jnp.arange(maxit, dtype=jnp.int32)
-    )
+    carry0 = (x0, u, v, w, beta, alpha, alpha, jnp.bool_(True), jnp.int32(0),
+              U0, V0)
+    (x, _u, _v, _w, _pb, _rb, _ac, _act, niters, _U, _V), \
+        (res_hist, err_hist) = jax.lax.scan(
+            step, carry0, jnp.arange(maxit, dtype=jnp.int32)
+        )
     return x, res_hist, err_hist, niters
 
 
@@ -95,8 +121,13 @@ def lsqr(
     x_true=None,
     tol: float = 1e-6,
     maxit: int | None = None,
+    reorth: bool = False,
 ) -> GKBResult:
-    """Standard LSQR with the reference's cheap residual estimate + final patch."""
+    """Standard LSQR with the reference's cheap residual estimate + final patch.
+
+    ``reorth=True`` fully reorthogonalizes the GKB bases (O(maxit (m+n))
+    memory) — restores exact-arithmetic equivalence with AB-GMRES (B=A^T) to
+    final iterations on ill-conditioned operators."""
     A = as_operator(A)
     if maxit is None:
         maxit = min(A.shape)
@@ -113,6 +144,7 @@ def lsqr(
         b_norm_for_estimate=b_norm,
         maxit=maxit,
         tol=tol,
+        reorth=reorth,
     )
     # Patch the last recorded entry with the true residual (lsqr_solver.m:52);
     # skip when no iteration was ever adopted (niters=0 would wrap the index).

