@@ -117,14 +117,18 @@ def ba_gmres_sharded(
 
     krylov_mv = sharded_ba_matvec(A, B, mesh, axis)
 
+    # Built ONCE outside the residual closure: constructing the shard_map
+    # inside would re-create (and eagerly re-trace) it on every call in the
+    # scan body (VERDICT r1 weak#5).
+    _a_rows = jax.shard_map(
+        lambda A_loc, xx: A_loc @ xx,
+        mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=P(axis),
+    )
+
     def a_matvec(x):
-        f = jax.shard_map(
-            lambda A_loc, xx: A_loc @ xx,
-            mesh=mesh,
-            in_specs=(P(axis, None), P()),
-            out_specs=P(axis),
-        )
-        return f(A, x)
+        return _a_rows(A, x)
 
     r0 = krylov_mv_r0(B, b, mesh, axis)
     b_norm = jnp.linalg.norm(b)
