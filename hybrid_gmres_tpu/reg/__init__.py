@@ -1,5 +1,7 @@
 from hybrid_gmres_tpu.reg.gcv import (
     gcv_from_H,
+    gcv_factors,
+    gcv_from_factors,
     gcv_curve,
     gcv_surface,
     gcv_lambda,
@@ -10,6 +12,8 @@ from hybrid_gmres_tpu.reg.lcurve import lcurve_sweep
 
 __all__ = [
     "gcv_from_H",
+    "gcv_factors",
+    "gcv_from_factors",
     "gcv_curve",
     "gcv_surface",
     "gcv_lambda",
