@@ -81,6 +81,7 @@ def gmres_core(
     x_init=None,
     residual: str = "true",
     fused: "FusedResidual | None" = None,
+    defer_histories: bool = False,
 ) -> GMRESResult:
     """Generic preconditioned-GMRES scan shared by AB/BA x {non,}hybrid x PTR/RTP.
 
@@ -98,9 +99,27 @@ def gmres_core(
     "fused" computes the SAME true residual as "true" but from stored
     per-step operator images (see :class:`FusedResidual`) — no extra SpMV,
     identical values up to float reassociation.
+
+    ``defer_histories`` (requires ``residual="fused"``): the scan body runs
+    ONLY the Arnoldi expansion (SpMV + CGS2 + image store); the per-k
+    projected solves become one batched (vmapped) solve after the scan and
+    the residual/error histories two big matmuls + column norms.  Turns
+    maxit sequential small-kernel solves into MXU-shaped batches — same
+    numbers as the masked scan (each padded ``y_k`` is zero beyond k, so
+    ``IMG @ y_k`` touches exactly the same columns).  The trade: no early
+    exit of the ITERATION (all maxit Arnoldi steps run; ``tol`` is still
+    honored in the reported ``niters``/``x``/NaN-masking, computed post
+    hoc), so use it when maxit ~ niters (benchmark/production fixed-budget
+    solves; the reference regime per DESIGN.md §9 measurements).
     """
     if residual not in ("true", "estimate", "fused"):
         raise ValueError("residual must be 'true', 'estimate' or 'fused'")
+    if defer_histories:
+        if residual != "fused":
+            raise ValueError("defer_histories requires residual='fused'")
+        if resume_from is not None or not history:
+            raise ValueError("defer_histories requires history=True and no "
+                             "resume_from")
     if residual == "fused":
         if fused is None:
             raise ValueError("residual='fused' requires a FusedResidual spec")
@@ -153,6 +172,11 @@ def gmres_core(
         x0 = (jnp.zeros((x_shape,), dtype=dtype) if x_init is None
               else jnp.asarray(x_init, dtype=dtype))
     t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
+
+    if defer_histories:
+        return _gmres_core_deferred(
+            fused, project_solve, solution_fn, error_fn, maxit, tol,
+            x_shape, breakdown_tol, Q0, H0, t, beta, dtype)
 
     if residual == "fused":
         IMG0 = jnp.zeros((fused.rhs.shape[0], maxit), dtype=dtype)
@@ -212,6 +236,62 @@ def gmres_core(
     if k0 > 0:
         res_hist = jnp.concatenate([prior_res[:k0], res_hist])
         err_hist = jnp.concatenate([prior_err[:k0], err_hist])
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
+
+
+def _gmres_core_deferred(fused, project_solve, solution_fn, error_fn, maxit,
+                         tol, x_shape, breakdown_tol, Q0, H0, t, beta, dtype):
+    """Deferred-histories fused GMRES: Arnoldi-only scan, then batched
+    projected solves and matmul-shaped histories (see ``gmres_core``)."""
+
+    def body(carry, k):
+        Q, H, active = carry
+        u = fused.first_mv(Q[:, k])
+        w = fused.second_mv(u)
+        img = u if fused.img == "first" else w
+        st = arnoldi_orthogonalize(Q, H, k, w, breakdown_tol)
+        Qn = jax.lax.select(active, st.Q, Q)
+        Hn = jax.lax.select(active, st.H, H)
+        zero = jnp.zeros((), dtype)
+        img_rec = jnp.where(active, img, zero)
+        s_rec = (jnp.where(active, u, zero)
+                 if fused.solution_from_image else None)
+        ok = active
+        active = active & ~st.breakdown
+        return (Qn, Hn, active), (img_rec, s_rec, ok)
+
+    (Q, H, _), (IMG_rows, S_rows, oks) = jax.lax.scan(
+        body, (Q0, H0, beta > 0), jnp.arange(maxit, dtype=jnp.int32))
+    IMG = IMG_rows.T                              # (m_img, maxit)
+    nsteps = jnp.sum(oks.astype(jnp.int32))
+
+    ks = jnp.arange(1, maxit + 1, dtype=jnp.int32)
+    Y = jax.vmap(lambda kd: project_solve(H, Q, t, kd))(ks)  # (maxit, maxit)
+
+    RES = fused.rhs[:, None] - IMG @ Y.T          # (m_img, maxit)
+    res_full = jnp.linalg.norm(RES, axis=0) / fused.rhs_norm
+    if fused.solution_from_image:
+        X = S_rows.T @ Y.T                        # (x_shape, maxit)
+        if fused.x_offset is not None:
+            X = X + fused.x_offset[:, None]
+    else:
+        X = jax.vmap(lambda y: solution_fn(Q, y), out_axes=1)(Y)
+    err_full = jax.vmap(error_fn, in_axes=1)(X)
+
+    # Post-hoc stopping: the first k with res <= tol (if tol > 0), bounded
+    # by the Arnoldi breakdown point — same niters/x/NaN-masking as the
+    # masked scan.
+    valid = ks <= nsteps
+    hit = valid & (res_full <= tol)
+    any_hit = jnp.any(hit)
+    first_hit = jnp.argmax(hit) + 1               # 1-based k of first hit
+    niters = jnp.where(any_hit, first_hit.astype(jnp.int32), nsteps)
+    rec = ks <= niters
+    nan = jnp.asarray(jnp.nan, dtype)
+    res_hist = jnp.where(rec, res_full, nan)
+    err_hist = jnp.where(rec, err_full, nan)
+    slot = jnp.maximum(niters - 1, 0)
+    x = jnp.where(niters > 0, X[:, slot], jnp.zeros((x_shape,), dtype))
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
 
 

@@ -87,6 +87,7 @@ def ab_gmres(
     resume_from: GMRESResult | None = None,
     x0=None,
     residual: str = "true",
+    defer_histories: bool = False,
 ) -> GMRESResult:
     """AB-GMRES: Krylov space in m-space on ``M = A B``; ``x = B Q_k y``.
 
@@ -134,6 +135,7 @@ def ab_gmres(
         x_init=x0,
         residual=residual,
         fused=fused,
+        defer_histories=defer_histories,
     )
 
 
@@ -151,6 +153,7 @@ def ba_gmres(
     resume_from: GMRESResult | None = None,
     x0=None,
     residual: str = "true",
+    defer_histories: bool = False,
 ) -> GMRESResult:
     """BA-GMRES: Krylov space in n-space on ``M = B A`` with ``r0 = B b``.
 
@@ -198,6 +201,7 @@ def ba_gmres(
         x_init=x0,
         residual=residual,
         fused=fused,
+        defer_histories=defer_histories,
     )
 
 

@@ -203,3 +203,50 @@ def test_ab_x0_warm_start_and_restart(prob):
     k = int(rr.niters)
     assert k >= 6
     assert np.all(np.isfinite(np.asarray(rr.res_hist)[:k]))
+
+
+@pytest.mark.parametrize("kind", ["ba", "ab"])
+@pytest.mark.parametrize("lam", [None, 1e-3])
+def test_defer_histories_matches_masked_scan(kind, lam):
+    """defer_histories=True (Arnoldi-only scan + batched projected solves +
+    matmul histories) reproduces the masked scan: machine-precision on
+    err/x/niters/NaN-mask; residual values match except when the LS residual
+    sits at the machine-rank floor (|res| ~ 1e-8) where batched-vs-single QR
+    kernel rounding is amplified by conditioning."""
+    import numpy as np
+    from hybrid_gmres_tpu import ab_gmres, ba_gmres, generate_test_problem
+    from hybrid_gmres_tpu.problems import add_noise, perturb_backprojector
+
+    A, b_exact, x_true = generate_test_problem("shaw", 32)
+    b, _ = add_noise(b_exact, 1e-2, seed=0)
+    B, _ = perturb_backprojector(A, 1e-4, seed=0)
+    solver = ba_gmres if kind == "ba" else ab_gmres
+    for tol in (0.0, 1e-2):
+        r1 = solver(A, B, b, x_true, tol=tol, maxit=20, lam=lam,
+                    residual="fused")
+        r2 = solver(A, B, b, x_true, tol=tol, maxit=20, lam=lam,
+                    residual="fused", defer_histories=True)
+        assert int(r2.niters) == int(r1.niters)
+        a1, a2 = np.asarray(r1.res_hist), np.asarray(r2.res_hist)
+        assert np.array_equal(np.isnan(a1), np.isnan(a2))
+        m = ~np.isnan(a1)
+        # Nonhybrid solves run past the numerical rank grow ||y_k|| ~ 1e10,
+        # and the computed residual b - W y carries an irreducible
+        # eps*||W||*||y|| ~ 1e-4 noise floor in BOTH modes (the two QR
+        # kernels land on different-but-equally-valid LS solutions); hybrid
+        # solves are well-conditioned and match to machine precision.
+        res_atol = 1e-12 if lam is not None else 5e-4
+        np.testing.assert_allclose(a2[m], a1[m], rtol=1e-8, atol=res_atol)
+        e1, e2 = np.asarray(r1.err_hist), np.asarray(r2.err_hist)
+        np.testing.assert_allclose(e2[m], e1[m], rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
+                                   rtol=1e-9, atol=1e-13)
+
+
+def test_defer_histories_requires_fused():
+    import pytest as _pytest
+    from hybrid_gmres_tpu import ba_gmres, generate_test_problem
+
+    A, b_exact, x_true = generate_test_problem("shaw", 16)
+    with _pytest.raises(ValueError):
+        ba_gmres(A, A.T, b_exact, maxit=4, defer_histories=True)
