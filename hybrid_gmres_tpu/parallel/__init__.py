@@ -1,4 +1,4 @@
-from hybrid_gmres_tpu.parallel.mesh import make_mesh
+from hybrid_gmres_tpu.parallel.mesh import make_mesh, make_mesh_2d
 from hybrid_gmres_tpu.parallel.sharded import (
     shard_problem,
     sharded_ba_matvec,
@@ -24,10 +24,17 @@ from hybrid_gmres_tpu.parallel.sharded_gkb import (
     lsmr_sharded,
     lsqr_sharded,
 )
+from hybrid_gmres_tpu.parallel.sharded2d import (
+    ba_gmres_sharded_2d,
+    shard_problem_2d,
+)
 from hybrid_gmres_tpu.parallel.multihost import initialize_multihost
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
+    "ba_gmres_sharded_2d",
+    "shard_problem_2d",
     "shard_problem",
     "sharded_ba_matvec",
     "sharded_ab_matvec",

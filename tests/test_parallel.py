@@ -429,3 +429,39 @@ def test_equivalence_sharded_gkb_vs_sharded_gmres(prob):
     r_lsqr = lsqr_sharded(A, b, x_true, tol=0.0, maxit=k, mesh=mesh)
     np.testing.assert_allclose(np.asarray(r_ab.err_hist),
                                np.asarray(r_lsqr.err_hist), rtol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+@pytest.mark.parametrize("lam", [None, 1e-3])
+def test_ba_gmres_sharded_2d_matches_single_device(prob, shape, lam):
+    """SUMMA-style 2-D (ray x pixel) tiling == single-device BA-GMRES:
+    per-iteration collectives shrink to O(m/pr) + O(n/pc) (DESIGN.md §7-8)."""
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_2d, make_mesh_2d, shard_problem_2d)
+
+    A, B, b, x_true = prob
+    mesh = make_mesh_2d(shape)
+    A_s, B_s, b_s = shard_problem_2d(A, B, b, mesh)
+    r_ref = ba_gmres(A, B, b, x_true, tol=1e-10, maxit=16, lam=lam,
+                     residual="fused")
+    r_sh = ba_gmres_sharded_2d(A_s, B_s, b_s, x_true, tol=1e-10, maxit=16,
+                               lam=lam, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_ref.x),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_sh.err_hist),
+                               np.asarray(r_ref.err_hist), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(r_sh.res_hist),
+                               np.asarray(r_ref.res_hist), rtol=1e-8)
+    assert int(r_sh.niters) == int(r_ref.niters)
+
+
+def test_ba_gmres_sharded_2d_requires_divisible(prob):
+    from hybrid_gmres_tpu.parallel import ba_gmres_sharded_2d, make_mesh_2d
+
+    A, B, b, x_true = prob
+    mesh = make_mesh_2d((4, 2))
+    with pytest.raises(ValueError):
+        ba_gmres_sharded_2d(A[:30], B[:, :30], b[:30], None, maxit=4,
+                            mesh=mesh)
+    with pytest.raises(ValueError):
+        ba_gmres_sharded_2d(A, B, b, None, maxit=4, mesh=None)
