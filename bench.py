@@ -115,7 +115,7 @@ def main():
     print(f"[bench] compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         r = _solve(A_op, B_op, b, x_true)
         jax.block_until_ready(r.x)

@@ -63,7 +63,8 @@ class ShardedPanels:
     """
 
     def __init__(self, buckets, inv_perm, fwd_perm, win_start, shape, ncb,
-                 win_slabs, slab_blocks, shifts, row_group, p):
+                 win_slabs, slab_blocks, shifts, row_group, p,
+                 row_scale=None, fro_sq=None):
         self.buckets = tuple(buckets)
         self.inv_perm = inv_perm
         self.fwd_perm = fwd_perm
@@ -75,6 +76,12 @@ class ShardedPanels:
         self.shifts = tuple(shifts)
         self.row_group = int(row_group)
         self.p = int(p)
+        # int8 panels: per-row f32 scales (p, m/p) with A ~= diag(s) Q
+        # (same scheme as the single-chip PallasBSROperator); None for
+        # float panels.  fro_sq (p,): exact per-shard ||A_slab||_F^2,
+        # computed at build time (valid for any storage dtype).
+        self.row_scale = row_scale
+        self.fro_sq = fro_sq
 
     @property
     def block_shape(self):
@@ -96,15 +103,16 @@ class ShardedPanels:
 
     def tree_flatten(self):
         children = (self.buckets, self.inv_perm, self.fwd_perm,
-                    self.win_start)
+                    self.win_start, self.row_scale, self.fro_sq)
         aux = (self.shape, self.ncb, self.win_slabs, self.slab_blocks,
                self.shifts, self.row_group, self.p)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        buckets, inv_perm, fwd_perm, win_start = children
-        return cls(buckets, inv_perm, fwd_perm, win_start, *aux)
+        buckets, inv_perm, fwd_perm, win_start, row_scale, fro_sq = children
+        return cls(buckets, inv_perm, fwd_perm, win_start, *aux,
+                   row_scale=row_scale, fro_sq=fro_sq)
 
 
 def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
@@ -124,6 +132,19 @@ def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
     csr = csr.tocsr()
     mloc = m // p
     br, bc = block
+    row_scale = None
+    fro = np.zeros(p, np.float32)
+    for i in range(p):
+        slab = csr[i * mloc:(i + 1) * mloc]
+        fro[i] = float((slab.multiply(slab)).sum())
+    if np.dtype(dtype) == np.int8:
+        # Per-row symmetric quantization A ~= diag(s) Q, one quantization
+        # shared by forward and transposed application (exact adjoint pair,
+        # same as the single-chip PallasBSROperator).
+        from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
+
+        csr, s = _row_quantize_csr(csr)
+        row_scale = jnp.asarray(s.reshape(p, mloc))
     panels = [
         bucketed_block_ell_from_csr(
             csr[i * mloc:(i + 1) * mloc], block=block, dtype=dtype,
@@ -224,6 +245,7 @@ def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
         buckets, jnp.asarray(inv_perm), jnp.asarray(fwd_perm),
         jnp.asarray(start.astype(np.int32)), (m, n), ncb,
         S, slab_blocks, (dmin, L), row_group, p,
+        row_scale=row_scale, fro_sq=jnp.asarray(fro),
     )
 
 
@@ -269,7 +291,10 @@ def gather_window(sp: ShardedPanels, x_loc, axis: str):
 
 
 def local_matvec(sp: ShardedPanels, x_win2d, interpret: bool = False):
-    """Forward kernel over this shard's buckets: (m/p,) = A_loc @ x_win."""
+    """Forward kernel over this shard's buckets: (m/p,) = A_loc @ x_win.
+
+    int8 panels apply the per-row scales outside the kernel
+    (``A x = s * (Q x)``)."""
     br = sp.block_shape[0]
     mloc = sp.shape[0] // sp.p
     ys = []
@@ -279,7 +304,10 @@ def local_matvec(sp: ShardedPanels, x_win2d, interpret: bool = False):
                                  row_group=sp.row_group))
     y_sorted = jnp.concatenate(ys, axis=0).reshape(-1, br)
     y_rows = y_sorted[sp.inv_perm[0]]
-    return y_rows.reshape(-1)[:mloc]
+    y = y_rows.reshape(-1)[:mloc]
+    if sp.row_scale is not None:
+        y = sp.row_scale[0] * y
+    return y
 
 
 def local_rmatvec_window(sp: ShardedPanels, u_loc, interpret: bool = False):
@@ -290,8 +318,13 @@ def local_rmatvec_window(sp: ShardedPanels, u_loc, interpret: bool = False):
     mloc = sp.shape[0] // sp.p
     nbr = -(-mloc // br)
     perm = sp.fwd_perm[0]
+    u_loc = u_loc.astype(jnp.float32)
+    if sp.row_scale is not None:
+        # A = diag(s) Q  =>  A^T u = Q^T (s u): one quantization, exact
+        # adjoint pair (mirrors PallasBSROperator.rmatvec).
+        u_loc = sp.row_scale[0] * u_loc
     u_pad = jnp.zeros((nbr * br,), jnp.float32).at[:mloc].set(
-        u_loc.astype(jnp.float32)).reshape(nbr, br)
+        u_loc).reshape(nbr, br)
     u_sorted = jnp.where((perm >= 0)[:, None], u_pad[jnp.clip(perm, 0)], 0.0)
     y2d = jnp.zeros((sp.win_blocks, bc), jnp.float32)
     off = 0

@@ -77,8 +77,9 @@ def _local_ops(A_loc, is_panels, axis, dtype, interpret):
             return jax.lax.psum_scatter(full, axis, scatter_dimension=0,
                                         tiled=True)
 
-        fro_sq = sum(jnp.sum(blocks[0].astype(jnp.float32) ** 2)
-                     for blocks, _ in A_loc.buckets).astype(dtype)
+        # exact per-shard ||A_slab||_F^2 computed at build time — valid for
+        # any storage dtype including int8-quantized panels
+        fro_sq = A_loc.fro_sq.reshape(-1)[0].astype(dtype)
     else:
         def matvec(v_loc):
             v_full = jax.lax.all_gather(v_loc, axis, tiled=True)

@@ -57,12 +57,28 @@ class GMRESResult(NamedTuple):
     beta: jax.Array       # ||r0||
 
 
+class GKBState(NamedTuple):
+    """Checkpointable GKB recurrence state (LSQR/LSMR resume).
+
+    ``carry`` is the raw scan carry at the last completed iteration
+    (vectors + rotation scalars + active/niters, plus the stored bases when
+    ``reorth=True``); the histories are the UNPATCHED records (LSQR's final
+    true-residual patch is re-applied after resume so
+    ``resume(run(maxit=k), maxit=K) == run(maxit=K)`` exactly)."""
+
+    carry: tuple
+    res_hist: jax.Array
+    err_hist: jax.Array
+    ar_hist: Optional[jax.Array] = None
+
+
 class GKBResult(NamedTuple):
     x: jax.Array
     err_hist: jax.Array
     res_hist: jax.Array
     niters: jax.Array
     ar_hist: Optional[jax.Array] = None  # LSMR only: ||A^T r|| history
+    state: Optional[GKBState] = None     # resume checkpoint (GKB family)
 
 
 def gmres_core(

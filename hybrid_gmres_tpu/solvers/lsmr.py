@@ -40,12 +40,18 @@ def lsmr(
     maxit: int | None = None,
     fro_norm=None,
     reorth: bool = False,
+    resume_from=None,
 ) -> GKBResult:
     """Standard LSMR (GKB + double QR recurrences).
 
     ``reorth=True`` fully reorthogonalizes the GKB bases (O(maxit (m+n))
     memory) — restores exact-arithmetic equivalence with BA-GMRES (B=A^T) to
-    final iterations on ill-conditioned operators."""
+    final iterations on ill-conditioned operators.
+    ``resume_from``: a prior result's ``.state`` (same ``reorth``) — the
+    recurrence continues with the larger ``maxit`` budget, reproducing an
+    uninterrupted run exactly."""
+    from hybrid_gmres_tpu.solvers.common import GKBState
+
     A = as_operator(A)
     if maxit is None:
         maxit = min(A.shape)
@@ -145,16 +151,38 @@ def lsmr(
         )
 
     one = jnp.ones((), dtype)
-    carry0 = (
-        x0, u, v, h0, hbar0, alpha1, alpha1 * beta1, alpha1, one, one, one,
-        jnp.zeros((), dtype), jnp.bool_(True), jnp.int32(0), U0, V0,
-    )
-    carry_out, (res_hist, err_hist, ar_hist) = jax.lax.scan(
-        step, carry0, jnp.arange(maxit, dtype=jnp.int32)
+    if resume_from is None:
+        k0 = 0
+        carry0 = (
+            x0, u, v, h0, hbar0, alpha1, alpha1 * beta1, alpha1, one, one,
+            one, jnp.zeros((), dtype), jnp.bool_(True), jnp.int32(0), U0, V0,
+        )
+    else:
+        k0 = resume_from.res_hist.shape[0]
+        if k0 >= maxit:
+            raise ValueError(f"resume needs maxit > {k0}")
+        carry0 = resume_from.carry
+        if reorth:
+            Up, Vp = carry0[14], carry0[15]
+            extra = maxit + 1 - Up.shape[1]
+            if extra > 0:
+                carry0 = carry0[:14] + (jnp.pad(Up, ((0, 0), (0, extra))),
+                                        jnp.pad(Vp, ((0, 0), (0, extra))))
+    carry_out, (res_new, err_new, ar_new) = jax.lax.scan(
+        step, carry0, jnp.arange(k0, maxit, dtype=jnp.int32)
     )
     x, niters = carry_out[0], carry_out[13]
+    if resume_from is None:
+        res_hist, err_hist, ar_hist = res_new, err_new, ar_new
+    else:
+        res_hist = jnp.concatenate([resume_from.res_hist, res_new])
+        err_hist = jnp.concatenate([resume_from.err_hist, err_new])
+        ar_hist = jnp.concatenate([resume_from.ar_hist, ar_new])
+    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist,
+                     ar_hist=ar_hist)
     return GKBResult(
-        x=x, err_hist=err_hist, res_hist=res_hist, niters=niters, ar_hist=ar_hist
+        x=x, err_hist=err_hist, res_hist=res_hist, niters=niters,
+        ar_hist=ar_hist, state=state
     )
 
 

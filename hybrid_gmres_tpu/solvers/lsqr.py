@@ -33,25 +33,29 @@ def _lsqr_core(
     maxit: int,
     tol: float,
     reorth: bool = False,
+    carry_init=None,
+    k0: int = 0,
 ):
     dtype = b_iter.dtype
     n = iter_op.shape[1]
     m = iter_op.shape[0]
 
-    u, beta, _ = _safe_normalize(b_iter)
-    v, alpha, _ = _safe_normalize(iter_op.rmatvec(u))
-    w = v
-    x0 = jnp.zeros((n,), dtype=dtype)
-    # Full reorthogonalization stores the GKB bases and CGS2-purifies each
-    # new vector — O(maxit (m+n)) memory instead of O(1), used by the
-    # equivalence oracles to hold GMRES==LSQR to final iterations (the short
-    # recurrence alone loses orthogonality on ill-conditioned operators;
-    # run_equivalence_plots.m:26-47 overlays final solutions).
-    if reorth:
-        U0 = jnp.zeros((m, maxit + 1), dtype=dtype).at[:, 0].set(u)
-        V0 = jnp.zeros((n, maxit + 1), dtype=dtype).at[:, 0].set(v)
-    else:
-        U0, V0 = None, None
+    if carry_init is None:
+        u, beta, _ = _safe_normalize(b_iter)
+        v, alpha, _ = _safe_normalize(iter_op.rmatvec(u))
+        w = v
+        x0 = jnp.zeros((n,), dtype=dtype)
+        # Full reorthogonalization stores the GKB bases and CGS2-purifies
+        # each new vector — O(maxit (m+n)) memory instead of O(1), used by
+        # the equivalence oracles to hold GMRES==LSQR to final iterations
+        # (the short recurrence alone loses orthogonality on
+        # ill-conditioned operators; run_equivalence_plots.m:26-47 overlays
+        # final solutions).
+        if reorth:
+            U0 = jnp.zeros((m, maxit + 1), dtype=dtype).at[:, 0].set(u)
+            V0 = jnp.zeros((n, maxit + 1), dtype=dtype).at[:, 0].set(v)
+        else:
+            U0, V0 = None, None
 
     def _purify(Basis, vec):
         vec = vec - Basis @ (Basis.T @ vec)
@@ -106,13 +110,23 @@ def _lsqr_core(
         return (x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters, U, V), \
             (res_rec, err_rec)
 
-    carry0 = (x0, u, v, w, beta, alpha, alpha, jnp.bool_(True), jnp.int32(0),
-              U0, V0)
-    (x, _u, _v, _w, _pb, _rb, _ac, _act, niters, _U, _V), \
-        (res_hist, err_hist) = jax.lax.scan(
-            step, carry0, jnp.arange(maxit, dtype=jnp.int32)
-        )
-    return x, res_hist, err_hist, niters
+    if carry_init is None:
+        carry0 = (x0, u, v, w, beta, alpha, alpha, jnp.bool_(True),
+                  jnp.int32(0), U0, V0)
+    else:
+        carry0 = carry_init
+        if reorth:
+            # grow the stored bases to the new budget
+            U0, V0 = carry0[9], carry0[10]
+            extra = maxit + 1 - U0.shape[1]
+            if extra > 0:
+                carry0 = carry0[:9] + (jnp.pad(U0, ((0, 0), (0, extra))),
+                                       jnp.pad(V0, ((0, 0), (0, extra))))
+    carry_out, (res_hist, err_hist) = jax.lax.scan(
+        step, carry0, jnp.arange(k0, maxit, dtype=jnp.int32)
+    )
+    x, niters = carry_out[0], carry_out[8]
+    return x, res_hist, err_hist, niters, carry_out
 
 
 def lsqr(
@@ -122,21 +136,30 @@ def lsqr(
     tol: float = 1e-6,
     maxit: int | None = None,
     reorth: bool = False,
+    resume_from=None,
 ) -> GKBResult:
     """Standard LSQR with the reference's cheap residual estimate + final patch.
 
     ``reorth=True`` fully reorthogonalizes the GKB bases (O(maxit (m+n))
     memory) — restores exact-arithmetic equivalence with AB-GMRES (B=A^T) to
-    final iterations on ill-conditioned operators."""
+    final iterations on ill-conditioned operators.
+
+    ``resume_from``: a prior result's ``.state`` (:class:`GKBState`) — the
+    recurrence continues where it stopped with the larger ``maxit`` budget,
+    producing exactly the numbers of an uninterrupted run (pass the same
+    ``reorth``)."""
+    from hybrid_gmres_tpu.solvers.common import GKBState, rel_error_fn
+
     A = as_operator(A)
     if maxit is None:
         maxit = min(A.shape)
     maxit = int(maxit)
     b_norm = jnp.linalg.norm(b)
 
-    from hybrid_gmres_tpu.solvers.common import rel_error_fn
-
-    x, res_hist, err_hist, niters = _lsqr_core(
+    k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
+    if k0 >= maxit and resume_from is not None:
+        raise ValueError(f"resume needs maxit > {k0}")
+    x, res_new, err_new, niters, carry = _lsqr_core(
         iter_op=A,
         b_iter=b,
         residual_fn=None,
@@ -145,14 +168,23 @@ def lsqr(
         maxit=maxit,
         tol=tol,
         reorth=reorth,
+        carry_init=None if resume_from is None else resume_from.carry,
+        k0=k0,
     )
+    if resume_from is None:
+        res_hist, err_hist = res_new, err_new
+    else:
+        res_hist = jnp.concatenate([resume_from.res_hist, res_new])
+        err_hist = jnp.concatenate([resume_from.err_hist, err_new])
+    state = GKBState(carry=carry, res_hist=res_hist, err_hist=err_hist)
     # Patch the last recorded entry with the true residual (lsqr_solver.m:52);
     # skip when no iteration was ever adopted (niters=0 would wrap the index).
     true_res = jnp.linalg.norm(b - A.matvec(x)) / b_norm
     slot = jnp.maximum(niters - 1, 0)
     res_hist = res_hist.at[slot].set(
         jnp.where(niters > 0, true_res, res_hist[slot]))
-    return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist, niters=niters)
+    return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
+                     niters=niters, state=state)
 
 
 def hybrid_lsqr(
@@ -163,6 +195,8 @@ def hybrid_lsqr(
     maxit: int | None = None,
     lam: float = 1e-3,
     error_map=None,
+    reorth: bool = False,
+    resume_from=None,
 ) -> GKBResult:
     """LSQR on the augmented system [A; sqrt(lam) I], residual vs original A.
 
@@ -170,7 +204,10 @@ def hybrid_lsqr(
     ``x_true`` — used when the iterate lives in a different space than the
     final solution (e.g. the AB-style composed solve where x = B z,
     run_2D_phantom.m:150-163).
+    ``resume_from``: a prior result's ``.state`` (same ``lam``/``reorth``).
     """
+    from hybrid_gmres_tpu.solvers.common import GKBState
+
     A = as_operator(A)
     if maxit is None:
         maxit = min(A.shape)
@@ -190,7 +227,10 @@ def hybrid_lsqr(
     else:
         error_fn = lambda z: base_error_fn(error_map(z))
 
-    x, res_hist, err_hist, niters = _lsqr_core(
+    k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
+    if k0 >= maxit and resume_from is not None:
+        raise ValueError(f"resume needs maxit > {k0}")
+    x, res_new, err_new, niters, carry = _lsqr_core(
         iter_op=aug,
         b_iter=b_aug,
         residual_fn=residual_fn,
@@ -198,5 +238,15 @@ def hybrid_lsqr(
         b_norm_for_estimate=b_norm,
         maxit=maxit,
         tol=tol,
+        reorth=reorth,
+        carry_init=None if resume_from is None else resume_from.carry,
+        k0=k0,
     )
-    return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist, niters=niters)
+    if resume_from is None:
+        res_hist, err_hist = res_new, err_new
+    else:
+        res_hist = jnp.concatenate([resume_from.res_hist, res_new])
+        err_hist = jnp.concatenate([resume_from.err_hist, err_new])
+    state = GKBState(carry=carry, res_hist=res_hist, err_hist=err_hist)
+    return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
+                     niters=niters, state=state)

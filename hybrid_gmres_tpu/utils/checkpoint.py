@@ -62,3 +62,37 @@ def pad_state(result: GMRESResult, maxit: int) -> GMRESResult:
         H=H,
         beta=result.beta,
     )
+
+
+def save_gkb_state(path: str, state) -> None:
+    """Serialize a :class:`~hybrid_gmres_tpu.solvers.common.GKBState`
+    (LSQR/LSMR resume checkpoint).  The carry tuple is stored positionally;
+    absent entries (e.g. the reorth bases when reorth=False) are skipped."""
+    d = {
+        "res_hist": np.asarray(state.res_hist),
+        "err_hist": np.asarray(state.err_hist),
+        "carry_len": np.int64(len(state.carry)),
+    }
+    if state.ar_hist is not None:
+        d["ar_hist"] = np.asarray(state.ar_hist)
+    for i, c in enumerate(state.carry):
+        if c is not None:
+            d[f"carry_{i}"] = np.asarray(c)
+    np.savez_compressed(path, **d)
+
+
+def load_gkb_state(path: str):
+    from hybrid_gmres_tpu.solvers.common import GKBState
+
+    z = np.load(path)
+    n = int(z["carry_len"])
+    carry = tuple(
+        jnp.asarray(z[f"carry_{i}"]) if f"carry_{i}" in z.files else None
+        for i in range(n)
+    )
+    return GKBState(
+        carry=carry,
+        res_hist=jnp.asarray(z["res_hist"]),
+        err_hist=jnp.asarray(z["err_hist"]),
+        ar_hist=jnp.asarray(z["ar_hist"]) if "ar_hist" in z.files else None,
+    )

@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from hybrid_gmres_tpu import lsqr, lsmr, hybrid_lsqr, hybrid_lsmr
 
@@ -66,3 +67,67 @@ def test_hybrid_lsmr_runs_and_regularizes():
     r1 = hybrid_lsmr(A, b, tol=1e-12, maxit=20, lam=1e-1)
     # heavy regularization shrinks the solution norm
     assert float(jnp.linalg.norm(r1.x)) < float(jnp.linalg.norm(r0.x))
+
+
+@pytest.mark.parametrize("reorth", [False, True])
+def test_lsqr_resume_equals_uninterrupted(reorth, tmp_path):
+    """resume(run(maxit=8).state, maxit=16) == run(maxit=16) exactly, incl.
+    the final true-residual patch and a save/load roundtrip."""
+    import numpy as np
+    from hybrid_gmres_tpu import lsqr, generate_test_problem
+    from hybrid_gmres_tpu.problems import add_noise
+    from hybrid_gmres_tpu.utils.checkpoint import (
+        load_gkb_state, save_gkb_state)
+
+    A, b_exact, x_true = generate_test_problem("deriv2", 32)
+    b, _ = add_noise(b_exact, 1e-2, seed=0)
+    r_full = lsqr(A, b, x_true, tol=0.0, maxit=16, reorth=reorth)
+    r_half = lsqr(A, b, x_true, tol=0.0, maxit=8, reorth=reorth)
+    path = str(tmp_path / "gkb.npz")
+    save_gkb_state(path, r_half.state)
+    r_res = lsqr(A, b, x_true, tol=0.0, maxit=16, reorth=reorth,
+                 resume_from=load_gkb_state(path))
+    np.testing.assert_allclose(np.asarray(r_res.res_hist),
+                               np.asarray(r_full.res_hist), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(r_res.err_hist),
+                               np.asarray(r_full.err_hist), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(r_res.x), np.asarray(r_full.x),
+                               rtol=1e-13)
+    assert int(r_res.niters) == int(r_full.niters)
+
+
+def test_lsmr_resume_equals_uninterrupted():
+    import numpy as np
+    from hybrid_gmres_tpu import lsmr, generate_test_problem
+    from hybrid_gmres_tpu.problems import add_noise
+
+    A, b_exact, x_true = generate_test_problem("deriv2", 32)
+    b, _ = add_noise(b_exact, 1e-2, seed=0)
+    r_full = lsmr(A, b, x_true, tol=0.0, maxit=16)
+    r_half = lsmr(A, b, x_true, tol=0.0, maxit=8)
+    r_res = lsmr(A, b, x_true, tol=0.0, maxit=16,
+                 resume_from=r_half.state)
+    np.testing.assert_allclose(np.asarray(r_res.res_hist),
+                               np.asarray(r_full.res_hist), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(r_res.ar_hist),
+                               np.asarray(r_full.ar_hist), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_res.x), np.asarray(r_full.x),
+                               rtol=1e-13)
+    assert int(r_res.niters) == int(r_full.niters)
+
+
+def test_hybrid_lsqr_resume_equals_uninterrupted():
+    import numpy as np
+    from hybrid_gmres_tpu import hybrid_lsqr, generate_test_problem
+    from hybrid_gmres_tpu.problems import add_noise
+
+    A, b_exact, x_true = generate_test_problem("deriv2", 32)
+    b, _ = add_noise(b_exact, 1e-2, seed=0)
+    r_full = hybrid_lsqr(A, b, x_true, tol=0.0, maxit=16, lam=1e-3)
+    r_half = hybrid_lsqr(A, b, x_true, tol=0.0, maxit=8, lam=1e-3)
+    r_res = hybrid_lsqr(A, b, x_true, tol=0.0, maxit=16, lam=1e-3,
+                        resume_from=r_half.state)
+    np.testing.assert_allclose(np.asarray(r_res.res_hist),
+                               np.asarray(r_full.res_hist), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(r_res.x), np.asarray(r_full.x),
+                               rtol=1e-13)

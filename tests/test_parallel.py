@@ -465,3 +465,69 @@ def test_ba_gmres_sharded_2d_requires_divisible(prob):
                             mesh=mesh)
     with pytest.raises(ValueError):
         ba_gmres_sharded_2d(A, B, b, None, maxit=4, mesh=None)
+
+
+def test_sharded_panels_int8_quantized():
+    """int8 sharded panels: per-row scales outside the kernel, exact
+    adjoint pair (<A x, u> == <x, A^T u>), parity with the f32 panels to
+    the ~1e-2 quantization error on random data, and a working sharded
+    GKB solve (fro_sq stored exactly at build time)."""
+    import scipy.sparse as sp
+    from jax.sharding import PartitionSpec as P
+    from hybrid_gmres_tpu.parallel import (
+        lsqr_sharded, shard_bucketed_panels)
+    from hybrid_gmres_tpu.parallel.panels import (
+        gather_window, local_matvec, local_rmatvec_window,
+        scatter_window_to_full)
+    from hybrid_gmres_tpu.solvers.lsqr import lsqr
+
+    Ad, _, b, x_true = _sparse_pair(64, 32, seed=6)
+    p = 8
+    mesh = make_mesh()
+    panels = shard_bucketed_panels(sp.csr_matrix(Ad), p, dtype=np.int8)
+    assert panels.row_scale is not None
+    assert panels.buckets[0][0].dtype == jnp.int8
+    x = np.random.default_rng(7).standard_normal(32).astype(np.float32)
+    u = np.random.default_rng(8).standard_normal(64).astype(np.float32)
+
+    def fwd(pan, x_loc):
+        return local_matvec(pan, gather_window(pan, x_loc, "rows"),
+                            interpret=True)
+
+    def rmv(pan, u_loc):
+        part = local_rmatvec_window(pan, u_loc, interpret=True)
+        return jax.lax.psum(scatter_window_to_full(pan, part), "rows")
+
+    y = jax.shard_map(fwd, mesh=mesh, in_specs=(P("rows"), P("rows")),
+                      out_specs=P("rows"), check_vma=False)(
+        panels, jnp.asarray(x))
+    z = jax.shard_map(rmv, mesh=mesh, in_specs=(P("rows"), P("rows")),
+                      out_specs=P(), check_vma=False)(panels, jnp.asarray(u))
+    # quantization error is a NORM-level ~0.5% on random data (per-element
+    # errors scale with the row max); the panel product itself matches the
+    # reference quantized product diag(s) (Q x) to 1e-7
+    Aq, sA = __import__("hybrid_gmres_tpu.ops.spmv_pallas",
+                        fromlist=["_row_quantize_csr"])._row_quantize_csr(
+        sp.csr_matrix(Ad))
+    ref_q = sA * (Aq @ x)
+    assert (np.linalg.norm(np.asarray(y) - ref_q)
+            / np.linalg.norm(ref_q)) < 1e-5
+    assert (np.linalg.norm(np.asarray(y) - Ad @ x)
+            / np.linalg.norm(Ad @ x)) < 2e-2
+    assert (np.linalg.norm(np.asarray(z) - Ad.T @ u)
+            / np.linalg.norm(Ad.T @ u)) < 2e-2
+    # exact adjoint pair (GKB requirement): <A x, u> == <x, A^T u>
+    lhs = float(np.dot(np.asarray(y), u))
+    rhs = float(np.dot(x, np.asarray(z)))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-6) < 1e-5, (lhs, rhs)
+    # exact fro_sq regardless of storage dtype
+    np.testing.assert_allclose(float(jnp.sum(panels.fro_sq)),
+                               float((Ad * Ad).sum()), rtol=1e-5)
+
+    r_sh = lsqr_sharded(panels, jnp.asarray(b), jnp.asarray(x_true),
+                        tol=0.0, maxit=8, mesh=mesh, interpret=True)
+    r_ref = lsqr(jnp.asarray(Ad), jnp.asarray(b), jnp.asarray(x_true),
+                 tol=0.0, maxit=8)
+    np.testing.assert_allclose(np.asarray(r_sh.err_hist),
+                               np.asarray(r_ref.err_hist, dtype=np.float32),
+                               rtol=0.05)
