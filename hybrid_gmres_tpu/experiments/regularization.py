@@ -34,6 +34,11 @@ class Config:
     k_gcv: int = 20               # :35
     gcv_lo: float = 1e-9          # :40
     gcv_hi: float = 1e-1
+    # "projected" = reference parity (gcv_function.m:38). For BA the
+    # projected numerator vanishes as lam->0 and fminbnd parks at gcv_lo
+    # (reference-shared bias, RESULTS.md); "original" restores an interior
+    # minimum — exposed here so the driver can demonstrate both.
+    gcv_residual_space: str = "projected"
     seed: int = 0
 
 
@@ -60,7 +65,9 @@ def run(cfg: Config | None = None) -> Results:
         for v in ("ab", "ba")
     }
     gcv_lambdas = {
-        v: gcv_lambda(v, A, B, b, k_gcv=cfg.k_gcv, lo=cfg.gcv_lo, hi=cfg.gcv_hi)[0]
+        v: gcv_lambda(v, A, B, b, k_gcv=cfg.k_gcv, lo=cfg.gcv_lo,
+                      hi=cfg.gcv_hi,
+                      residual_space=cfg.gcv_residual_space)[0]
         for v in ("ab", "ba")
     }
     solvers = {"ab": hg.ab_gmres, "ba": hg.ba_gmres}

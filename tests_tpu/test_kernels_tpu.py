@@ -140,3 +140,32 @@ def test_hybrid_ba_gmres_on_device_pallas_vs_dense():
     # semi-convergence minima agree (the scientifically meaningful number)
     assert abs(np.nanmin(err_fast) - np.nanmin(err_ref)) < 0.03, (
         np.nanmin(err_fast), np.nanmin(err_ref))
+
+
+def test_defer_histories_on_device_matches_masked():
+    """Batched projected solves (vmapped padded Cholesky on the MXU) ==
+    the masked in-scan solves on the chip, hybrid f32."""
+    from hybrid_gmres_tpu.problems.ct import ct_mismatched, ct_tpu_operators
+    from hybrid_gmres_tpu.solvers.gmres import ba_gmres
+
+    prob = ct_mismatched(n=32, n_angles=90, n_det=90, dense=False)
+    A_op, B_op, b_p, x_p, ray_perm, pix_perm = ct_tpu_operators(
+        prob, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    e = rng.standard_normal(prob.b_exact.shape)
+    e = e / np.linalg.norm(e) * 0.25 * float(jnp.linalg.norm(prob.b_exact))
+    b = (jnp.asarray(prob.b_exact) + jnp.asarray(e)).astype(
+        jnp.float32)[np.asarray(ray_perm)]
+    xt = jnp.asarray(prob.x_true)[np.asarray(pix_perm)].astype(jnp.float32)
+
+    # maxit kept small: the deferred variant's batched-solve program is
+    # expensive to compile through the remote-compile tunnel
+    r1 = ba_gmres(A_op, B_op, b, xt, tol=0.0, maxit=12, lam=1e-2,
+                  residual="fused")
+    r2 = ba_gmres(A_op, B_op, b, xt, tol=0.0, maxit=12, lam=1e-2,
+                  residual="fused", defer_histories=True)
+    assert int(r1.niters) == int(r2.niters)
+    e1, e2 = np.asarray(r1.err_hist), np.asarray(r2.err_hist)
+    a1, a2 = np.asarray(r1.res_hist), np.asarray(r2.res_hist)
+    np.testing.assert_allclose(e2, e1, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(a2, a1, rtol=2e-3, atol=1e-4)
