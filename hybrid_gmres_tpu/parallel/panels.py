@@ -384,3 +384,78 @@ def comms_bytes_per_iteration(A_panels: ShardedPanels,
         "scalar_bytes": scalars,
         "total_bytes": gather + reduce_scatter + cgs2 + scalars,
     }
+
+
+@jax.tree_util.register_pytree_node_class
+class ComposedPanels:
+    """Sharded composed operator ``M = A B`` ("ab", m-space) or ``M = B A``
+    ("ba", n-space) built from two panel sets — the distributed twin of
+    ``ProductOperator`` for the reference's composed hybrid path
+    (``run_2D_phantom.m:150-176``: LSQR on the Tikhonov-augmented M).
+
+    ``A``: panels of A (m x n) over ray rows; ``BT``: panels of B^T (m x n)
+    over ray rows.  Both M directions come from the two kernels of each
+    panel: M v and M^T v each cost two collectives (one windowed/full
+    gather + one reduce_scatter) — see ``composed_local_ops``.
+    """
+
+    def __init__(self, A: ShardedPanels, BT: ShardedPanels, kind: str):
+        if kind not in ("ab", "ba"):
+            raise ValueError("kind must be 'ab' or 'ba'")
+        if A.shape != BT.shape or A.p != BT.p:
+            raise ValueError(
+                f"panel mismatch: A {A.shape}/p={A.p}, BT {BT.shape}/p={BT.p}")
+        self.A = A
+        self.BT = BT
+        self.kind = kind
+
+    @property
+    def shape(self):
+        m, n = self.A.shape
+        return (m, m) if self.kind == "ab" else (n, n)
+
+    @property
+    def p(self):
+        return self.A.p
+
+    def tree_flatten(self):
+        return (self.A, self.BT), self.kind
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
+def composed_local_ops(cp: ComposedPanels, axis: str, dtype,
+                       interpret: bool = False):
+    """(matvec, rmatvec) on the shard-local composed operator, both taking
+    and returning vectors sharded over ``axis`` in M's own space."""
+    A_loc, BT_loc = cp.A, cp.BT
+
+    def _rs(full):
+        return jax.lax.psum_scatter(full, axis, scatter_dimension=0,
+                                    tiled=True)
+
+    def A_fwd(x_loc):                  # n-sharded -> m-sharded rows of A
+        xw = gather_window(A_loc, x_loc, axis)
+        return local_matvec(A_loc, xw, interpret=interpret).astype(dtype)
+
+    def At_rs(v_loc):                  # m-sharded -> n-sharded A^T v
+        part = local_rmatvec_window(A_loc, v_loc, interpret=interpret)
+        return _rs(scatter_window_to_full(A_loc, part).astype(dtype))
+
+    def Bt_fwd(x_loc):                 # n-sharded -> m-sharded rows of B^T
+        xw = gather_window(BT_loc, x_loc, axis)
+        return local_matvec(BT_loc, xw, interpret=interpret).astype(dtype)
+
+    def B_rs(u_loc):                   # m-sharded -> n-sharded B u
+        part = local_rmatvec_window(BT_loc, u_loc, interpret=interpret)
+        return _rs(scatter_window_to_full(BT_loc, part).astype(dtype))
+
+    if cp.kind == "ab":
+        matvec = lambda u: A_fwd(B_rs(u))      # M u   = A (B u)
+        rmatvec = lambda v: Bt_fwd(At_rs(v))   # M^T v = B^T (A^T v)
+    else:
+        matvec = lambda x: B_rs(A_fwd(x))      # M x   = B (A x)
+        rmatvec = lambda x: At_rs(Bt_fwd(x))   # M^T x = A^T (B^T x)
+    return matvec, rmatvec

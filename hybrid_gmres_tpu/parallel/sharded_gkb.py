@@ -27,7 +27,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from hybrid_gmres_tpu.krylov.projected import projected_gram_tikhonov_solve
 from hybrid_gmres_tpu.parallel.panels import (
+    ComposedPanels,
     ShardedPanels,
+    composed_local_ops,
     gather_window,
     local_matvec,
     local_rmatvec_window,
@@ -49,7 +51,7 @@ def _prep(A, b, maxit, mesh, axis):
 
         mesh = make_mesh(axis_name=axis)
     p = mesh.devices.size
-    is_panels = isinstance(A, ShardedPanels)
+    is_panels = isinstance(A, (ShardedPanels, ComposedPanels))
     m, n = A.shape
     if is_panels and A.p != p:
         raise ValueError(f"panels built for p={A.p}, mesh has {p}")
@@ -66,7 +68,14 @@ def _local_ops(A_loc, is_panels, axis, dtype, interpret):
     matvec: n-sharded v -> m-sharded u rows (one gather collective).
     rmatvec: m-sharded u -> n-sharded v slab (one reduce_scatter).
     """
-    if is_panels:
+    if isinstance(A_loc, ComposedPanels):
+        # composed M = A B / B A: both directions from the two panel sets;
+        # ||M||_F is not cheaply available (matches the single-chip
+        # matrix-free operators, which report NaN there too).
+        matvec, rmatvec = composed_local_ops(A_loc, axis, dtype,
+                                             interpret=interpret)
+        fro_sq = jnp.asarray(jnp.nan, dtype)
+    elif is_panels:
         def matvec(v_loc):
             xw = gather_window(A_loc, v_loc, axis)
             return local_matvec(A_loc, xw, interpret=interpret).astype(dtype)

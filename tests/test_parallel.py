@@ -531,3 +531,49 @@ def test_sharded_panels_int8_quantized():
     np.testing.assert_allclose(np.asarray(r_sh.err_hist),
                                np.asarray(r_ref.err_hist, dtype=np.float32),
                                rtol=0.05)
+
+
+@pytest.mark.parametrize("kind", ["ab", "ba"])
+def test_composed_panels_gkb_matches_product_operator(kind):
+    """Distributed twin of the reference's composed hybrid path
+    (run_2D_phantom.m:150-176): sharded LSQR / hybrid LSQR over
+    M = A B ('ab') or B A ('ba') built from the two panel sets ==
+    single-device solvers on the dense product."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ComposedPanels, hybrid_lsqr_sharded, lsqr_sharded,
+        shard_bucketed_panels)
+    from hybrid_gmres_tpu.solvers.lsqr import hybrid_lsqr, lsqr
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 64, seed=9)
+    mesh = make_mesh()
+    A_p = shard_bucketed_panels(sp.csr_matrix(Ad), 8)
+    BT_p = shard_bucketed_panels(sp.csr_matrix(Bd.T), 8)
+    M = ComposedPanels(A_p, BT_p, kind)
+    if kind == "ab":
+        Md = jnp.asarray(Ad @ Bd)
+        rhs = jnp.asarray(b)
+    else:
+        Md = jnp.asarray(Bd @ Ad)
+        rhs = jnp.asarray(Bd @ b)
+
+    r_sh = lsqr_sharded(M, rhs, tol=0.0, maxit=8, mesh=mesh,
+                        interpret=True)
+    r_ref = lsqr(Md, rhs, tol=0.0, maxit=8)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.res_hist),
+        np.asarray(r_ref.res_hist, dtype=np.float32), rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.x), np.asarray(r_ref.x, dtype=np.float32),
+        rtol=1e-2, atol=1e-4)
+
+    r_hsh = hybrid_lsqr_sharded(M, rhs, tol=0.0, maxit=8, lam=1e-2,
+                                mesh=mesh, interpret=True)
+    r_href = hybrid_lsqr(Md, rhs, tol=0.0, maxit=8, lam=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(r_hsh.res_hist),
+        np.asarray(r_href.res_hist, dtype=np.float32), rtol=2e-3,
+        atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(r_hsh.x), np.asarray(r_href.x, dtype=np.float32),
+        rtol=1e-2, atol=1e-4)
