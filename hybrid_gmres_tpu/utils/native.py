@@ -1,4 +1,5 @@
-"""Build + ctypes bindings for the native C++ components (native/*.cpp).
+"""Build + ctypes bindings for the native C++ components
+(hybrid_gmres_tpu/native/*.cpp).
 
 The shared library is compiled on first use with g++ -O3 and cached next to
 the sources; a stale .so (older than its .cpp) is rebuilt.  No pybind11 —
@@ -14,16 +15,28 @@ import threading
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
 _LOCK = threading.Lock()
 _LIBS: dict = {}
 
 
+def _out_dir() -> str:
+    """Build next to the sources when writable (repo checkout), else a
+    user cache dir (read-only site-packages install)."""
+    if os.access(_NATIVE_DIR, os.W_OK):
+        return _NATIVE_DIR
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "hybrid_gmres_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return cache
+
+
 def _build(name: str) -> str:
     src = os.path.join(_NATIVE_DIR, f"{name}.cpp")
-    out = os.path.join(_NATIVE_DIR, f"lib{name}.so")
+    out = os.path.join(_out_dir(), f"lib{name}.so")
     if (not os.path.exists(out)
             or os.path.getmtime(out) < os.path.getmtime(src)):
         subprocess.run(
