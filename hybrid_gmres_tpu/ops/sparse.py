@@ -105,6 +105,16 @@ class BlockELLMatrix:
         return cls(children[0], children[1], children[2], aux)
 
 
+def unpack_nibbles(packed):
+    """Decode an int8 array of packed two's-complement nibbles into the
+    (lo, hi) signed int32 pair.  The zero byte decodes to (0, 0), so packed
+    padding needs no special casing."""
+    raw = packed.astype(jnp.int32)
+    lo = (raw << 28) >> 28   # arithmetic shifts: signed low nibble
+    hi = (raw << 24) >> 28   # signed high nibble
+    return lo, hi
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class BucketedBlockELL:
@@ -113,6 +123,12 @@ class BucketedBlockELL:
     padding a single global maxb costs on the CT operator.
 
     ``inv_perm[orig_block_row] = position in the sorted/concatenated order``.
+
+    ``packed4``: blocks hold PAIRS of int4 values packed in int8 bytes along
+    the block axis — byte j of a block-row carries logical block ``2j`` in
+    its low nibble and ``2j+1`` in its high nibble (two's complement, so a
+    zero byte is two zero blocks and bucket padding stays valid).  ``bcols``
+    keeps one entry per LOGICAL block (2x the packed block axis).
     """
 
     buckets: tuple            # of (blocks (nbr_b, maxb_b, BR, BC), bcols (nbr_b, maxb_b))
@@ -120,6 +136,7 @@ class BucketedBlockELL:
     shape: tuple              # logical (m, n)
     ncb: int                  # number of block columns (padded)
     row_group: int = 8        # block-rows per Pallas grid step (static)
+    packed4: bool = False     # int4 pairs packed in int8 bytes
 
     @property
     def block_shape(self):
@@ -133,13 +150,19 @@ class BucketedBlockELL:
         """Reference jnp implementation (CPU path / kernel oracle)."""
         br, bc = self.block_shape
         n_pad = self.ncb * bc
-        acc_dtype = jnp.promote_types(jnp.float32, self.buckets[0][0].dtype)
+        store_dtype = self.buckets[0][0].dtype
+        acc_dtype = (jnp.float32 if self.packed4
+                     else jnp.promote_types(jnp.float32, store_dtype))
         x_pad = jnp.zeros((n_pad,), acc_dtype).at[: self.shape[1]].set(
             x.astype(acc_dtype)
         )
         xg2 = x_pad.reshape(self.ncb, bc)
         ys = []
         for blocks, bcols in self.buckets:
+            if self.packed4:
+                lo, hi = unpack_nibbles(blocks)      # (nbr_b, maxb_pk, br, bc)
+                blocks = jnp.stack([lo, hi], axis=2).reshape(
+                    lo.shape[0], 2 * lo.shape[1], br, bc)
             xg = xg2[bcols]  # (nbr_b, maxb_b, bc)
             ys.append(jnp.einsum(
                 "rbij,rbj->ri", blocks.astype(acc_dtype), xg
@@ -150,18 +173,42 @@ class BucketedBlockELL:
 
     def tree_flatten(self):
         children = (tuple(self.buckets), self.inv_perm)
-        return children, (self.shape, self.ncb, self.row_group)
+        return children, (self.shape, self.ncb, self.row_group, self.packed4)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1], aux[2])
+        return cls(children[0], children[1], *aux)
+
+
+def _pack_int4(blocks, bcols):
+    """Pack int8-valued blocks (entries in [-7, 7]) into nibble pairs along
+    the block axis; pads the block axis to even first."""
+    nbr_b, maxb_b = blocks.shape[:2]
+    if maxb_b % 2:
+        blocks = np.concatenate(
+            [blocks, np.zeros_like(blocks[:, :1])], axis=1)
+        bcols = np.concatenate(
+            [bcols, np.zeros_like(bcols[:, :1])], axis=1)
+        maxb_b += 1
+    lo = blocks[:, 0::2].astype(np.int32) & 15
+    hi = blocks[:, 1::2].astype(np.int32) & 15
+    packed = (lo | (hi << 4)).astype(np.uint8).view(np.int8)
+    return packed, bcols
 
 
 def bucketed_block_ell_from_csr(csr, block=(8, 128), dtype=np.float32,
                                 n_buckets: int = 4,
-                                row_group: int = 8) -> BucketedBlockELL:
-    """Host conversion CSR -> sliced/bucketed block-ELL."""
+                                row_group: int = 8,
+                                pack_int4: bool = False) -> BucketedBlockELL:
+    """Host conversion CSR -> sliced/bucketed block-ELL.
+
+    ``pack_int4``: the CSR values must already be integers in [-7, 7]
+    (per-row quantized); blocks are packed two-per-byte (``packed4`` layout).
+    """
     import scipy.sparse as sp
+
+    if pack_int4:
+        dtype = np.int8
 
     br, bc = block
     m, n = csr.shape
@@ -204,6 +251,8 @@ def bucketed_block_ell_from_csr(csr, block=(8, 128), dtype=np.float32,
             src = np.repeat(bsr.indptr[rows], lens) + offs
             blocks[dest_r, offs] = bsr.data[src].astype(dtype)
             bcols[dest_r, offs] = bsr.indices[src]
+        if pack_int4:
+            blocks, bcols = _pack_int4(blocks, bcols)
         buckets.append((jnp.asarray(blocks), jnp.asarray(bcols)))
         sorted_rows.append(np.concatenate(
             [rows, np.full(nbr_b - len(rows), -1, dtype=np.int64)]
@@ -214,7 +263,7 @@ def bucketed_block_ell_from_csr(csr, block=(8, 128), dtype=np.float32,
     inv_perm[sorted_rows[valid]] = np.nonzero(valid)[0].astype(np.int32)
     return BucketedBlockELL(
         tuple(buckets), jnp.asarray(inv_perm), (m, n), n_pad // bc,
-        int(row_group),
+        int(row_group), packed4=bool(pack_int4),
     )
 
 

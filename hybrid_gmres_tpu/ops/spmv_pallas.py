@@ -43,19 +43,34 @@ from hybrid_gmres_tpu.ops.sparse import (
 _ROW_GROUP = 8  # block-rows per grid step
 
 
-def _bucket_matvec(bcols_flat, blocks, x2d, interpret=False, row_group=None):
-    """One bucket: blocks (nbr, maxb, 8, 128) -> y (nbr*8, 1)."""
+def _bucket_matvec(bcols_flat, blocks, x2d, interpret=False, row_group=None,
+                   packed4=False):
+    """One bucket: blocks (nbr, maxb, 8, 128) -> y (nbr*8, 1).
+
+    ``packed4``: each stored byte carries TWO logical int4 blocks (lo/hi
+    nibble, two's complement — see ``sparse.unpack_nibbles``); one load
+    feeds two FMAs against two scalar-prefetched block columns.
+    """
     nbr, maxb, br, bc = blocks.shape
     G = _ROW_GROUP if row_group is None else row_group
     assert nbr % G == 0
+    maxb_log = 2 * maxb if packed4 else maxb  # logical blocks (= len bcols row)
 
     def kernel(bcols_ref, blocks_ref, x2d_ref, out_ref):
         i = pl.program_id(0)
         for g in range(G):
             def body(j, acc):
+                blk = blocks_ref[g, j]
+                if packed4:
+                    raw = blk.astype(jnp.int32)
+                    c0 = bcols_ref[(i * G + g) * maxb_log + 2 * j]
+                    c1 = bcols_ref[(i * G + g) * maxb_log + 2 * j + 1]
+                    lo = ((raw << 28) >> 28).astype(jnp.float32)
+                    hi = ((raw << 24) >> 28).astype(jnp.float32)
+                    acc = acc + lo * x2d_ref[pl.ds(c0, 1), :]
+                    return acc + hi * x2d_ref[pl.ds(c1, 1), :]
                 c = bcols_ref[(i * G + g) * maxb + j]
                 xs = x2d_ref[pl.ds(c, 1), :]
-                blk = blocks_ref[g, j]
                 return acc + blk.astype(jnp.float32) * xs
 
             acc = jax.lax.fori_loop(
@@ -84,7 +99,7 @@ def _bucket_matvec(bcols_flat, blocks, x2d, interpret=False, row_group=None):
 
 
 def _bucket_rmatvec(bcols_flat, blocks, u_rows, ncb, interpret=False,
-                    row_group=None):
+                    row_group=None, packed4=False):
     """One bucket, transposed: y (ncb, bc) += sum_j blocks[r,j]^T u_rows[r].
 
     The whole output vector (ncb, 128) stays resident in VMEM across every
@@ -96,6 +111,7 @@ def _bucket_rmatvec(bcols_flat, blocks, u_rows, ncb, interpret=False,
     nbr, maxb, br, bc = blocks.shape
     G = _ROW_GROUP if row_group is None else row_group
     assert nbr % G == 0
+    maxb_log = 2 * maxb if packed4 else maxb
 
     def kernel(bcols_ref, blocks_ref, u_ref, out_ref):
         i = pl.program_id(0)
@@ -108,8 +124,19 @@ def _bucket_rmatvec(bcols_flat, blocks, u_rows, ncb, interpret=False,
             u_g = u_ref[pl.ds(g * br, br), :]  # (br, 1)
 
             def body(j, _):
-                c = bcols_ref[(i * G + g) * maxb + j]
                 blk = blocks_ref[g, j]
+                if packed4:
+                    raw = blk.astype(jnp.int32)
+                    c0 = bcols_ref[(i * G + g) * maxb_log + 2 * j]
+                    c1 = bcols_ref[(i * G + g) * maxb_log + 2 * j + 1]
+                    lo = ((raw << 28) >> 28).astype(jnp.float32)
+                    hi = ((raw << 24) >> 28).astype(jnp.float32)
+                    out_ref[pl.ds(c0, 1), :] += jnp.sum(
+                        lo * u_g, axis=0, keepdims=True)
+                    out_ref[pl.ds(c1, 1), :] += jnp.sum(
+                        hi * u_g, axis=0, keepdims=True)
+                    return 0
+                c = bcols_ref[(i * G + g) * maxb + j]
                 contrib = jnp.sum(
                     blk.astype(jnp.float32) * u_g, axis=0, keepdims=True
                 )  # (1, bc); padded blocks are zero -> add 0 to block-col 0
@@ -165,7 +192,8 @@ def bucketed_bsr_rmatvec(bell: BucketedBlockELL, u, interpret=False):
         nbr_b = blocks.shape[0]
         y2d = y2d + _bucket_rmatvec(
             bcols.reshape(-1), blocks, u_sorted[off:off + nbr_b],
-            bell.ncb, interpret=interpret, row_group=bell.row_group)
+            bell.ncb, interpret=interpret, row_group=bell.row_group,
+            packed4=bell.packed4)
         off += nbr_b
     return y2d.reshape(-1)[:n].astype(u.dtype)
 
@@ -181,7 +209,7 @@ def bucketed_bsr_matvec(bell: BucketedBlockELL, x, interpret=False):
     ).reshape(bell.ncb, bc)
     ys = [
         _bucket_matvec(bcols.reshape(-1), blocks, x2d, interpret=interpret,
-                       row_group=bell.row_group)
+                       row_group=bell.row_group, packed4=bell.packed4)
         for blocks, bcols in bell.buckets
     ]
     y_sorted = jnp.concatenate(ys, axis=0).reshape(-1, br)  # (nbr_total, br)
@@ -189,16 +217,18 @@ def bucketed_bsr_matvec(bell: BucketedBlockELL, x, interpret=False):
     return y_rows.reshape(-1)[:m].astype(x.dtype)
 
 
-def _row_quantize_csr(csr):
-    """Per-row symmetric int8 quantization: ``A ~= diag(s) Q`` with
-    ``s_i = max_j |A_ij| / 127`` (1 for empty rows) and Q int8-valued.
+def _row_quantize_csr(csr, qmax: int = 127):
+    """Per-row symmetric integer quantization: ``A ~= diag(s) Q`` with
+    ``s_i = max_j |A_ij| / qmax`` (1 for empty rows) and Q integer-valued in
+    ``[-qmax, qmax]`` (127 for int8 storage, 7 for packed int4).
 
     Returns ``(csr_q, s)`` where ``csr_q`` carries the *rounded integer*
     values as float64 (so the block packer's ``astype(int8)`` is exact).
     The scales live OUTSIDE the kernel: ``A x = s * (Q x)`` and
     ``A^T u = Q^T (s * u)`` — zero kernel changes, half the panel bytes of
-    bf16.  Rel. matvec error ~ 1e-4 on the CT operator (entries within a
-    ray's row are same-magnitude intersection lengths).
+    bf16.  Rel. matvec error ~ 1e-4 (int8) / ~7e-2 (int4) on the CT
+    operator; the int4 perturbation still leaves the CT semi-convergence
+    minimum within 0.2% of exact f32 (0.4333 vs 0.4328 at 25% noise).
     """
     import numpy as np
     import scipy.sparse as sp
@@ -208,10 +238,10 @@ def _row_quantize_csr(csr):
     absmax = np.zeros(m)
     np.maximum.at(absmax, np.repeat(np.arange(m), np.diff(csr.indptr)),
                   np.abs(csr.data))
-    s = np.where(absmax > 0, absmax / 127.0, 1.0)
+    s = np.where(absmax > 0, absmax / qmax, 1.0)
     inv = 1.0 / s
     q = np.rint(csr.data * np.repeat(inv, np.diff(csr.indptr)))
-    q = np.clip(q, -127, 127)
+    q = np.clip(q, -qmax, qmax)
     csr_q = sp.csr_matrix((q, csr.indices.copy(), csr.indptr.copy()),
                           shape=csr.shape)
     return csr_q, s.astype(np.float32)
@@ -256,12 +286,14 @@ class PallasBSROperator(LinearOperator):
         A 201 -> 141 us at G=32; B best at 8)."""
         import numpy as np
 
-        dt = np.dtype(dtype)
+        is_int4 = (isinstance(dtype, str) and dtype.lower() == "int4") or (
+            not isinstance(dtype, str) and np.dtype(dtype).name == "int4")
+        dt = np.int8 if is_int4 else np.dtype(dtype)
         fwd_scale = adj_scale = None
         csr_fwd = csr
         csr_adj = csr.T.tocsr() if with_adjoint else None
-        if dt == np.int8:
-            csr_fwd, s = _row_quantize_csr(csr)
+        if is_int4 or dt == np.int8:
+            csr_fwd, s = _row_quantize_csr(csr, qmax=7 if is_int4 else 127)
             fwd_scale = jnp.asarray(s)
             if with_adjoint:
                 # ONE quantization: the adjoint panel is Q^T (values already
@@ -271,12 +303,13 @@ class PallasBSROperator(LinearOperator):
                 csr_adj = csr_fwd.T.tocsr()
         fwd = bucketed_block_ell_from_csr(
             csr_fwd, block=block, dtype=dt, n_buckets=n_buckets,
-            row_group=row_group,
+            row_group=row_group, pack_int4=is_int4,
         )
         adj = (
             bucketed_block_ell_from_csr(
                 csr_adj, block=block, dtype=dt,
                 n_buckets=n_buckets, row_group=row_group,
+                pack_int4=is_int4,
             )
             if with_adjoint else None
         )
@@ -299,6 +332,8 @@ class PallasBSROperator(LinearOperator):
 
     @property
     def storage_dtype(self):
+        if self.fwd.packed4:
+            return jnp.dtype(jnp.int4)  # two values per stored int8 byte
         return self.fwd.buckets[0][0].dtype
 
     def matvec(self, x):

@@ -64,7 +64,7 @@ class ShardedPanels:
 
     def __init__(self, buckets, inv_perm, fwd_perm, win_start, shape, ncb,
                  win_slabs, slab_blocks, shifts, row_group, p,
-                 row_scale=None, fro_sq=None):
+                 packed4=False, row_scale=None, fro_sq=None):
         self.buckets = tuple(buckets)
         self.inv_perm = inv_perm
         self.fwd_perm = fwd_perm
@@ -76,6 +76,9 @@ class ShardedPanels:
         self.shifts = tuple(shifts)
         self.row_group = int(row_group)
         self.p = int(p)
+        # int4 panels: nibble pairs packed in int8 bytes along the block
+        # axis (see ops/sparse.py BucketedBlockELL.packed4)
+        self.packed4 = bool(packed4)
         # int8 panels: per-row f32 scales (p, m/p) with A ~= diag(s) Q
         # (same scheme as the single-chip PallasBSROperator); None for
         # float panels.  fro_sq (p,): exact per-shard ||A_slab||_F^2,
@@ -105,7 +108,7 @@ class ShardedPanels:
         children = (self.buckets, self.inv_perm, self.fwd_perm,
                     self.win_start, self.row_scale, self.fro_sq)
         aux = (self.shape, self.ncb, self.win_slabs, self.slab_blocks,
-               self.shifts, self.row_group, self.p)
+               self.shifts, self.row_group, self.p, self.packed4)
         return children, aux
 
     @classmethod
@@ -137,18 +140,22 @@ def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
     for i in range(p):
         slab = csr[i * mloc:(i + 1) * mloc]
         fro[i] = float((slab.multiply(slab)).sum())
-    if np.dtype(dtype) == np.int8:
+    is_int4 = (isinstance(dtype, str) and dtype.lower() == "int4") or (
+        not isinstance(dtype, str) and np.dtype(dtype).name == "int4")
+    if is_int4:
+        dtype = np.int8
+    if is_int4 or np.dtype(dtype) == np.int8:
         # Per-row symmetric quantization A ~= diag(s) Q, one quantization
         # shared by forward and transposed application (exact adjoint pair,
         # same as the single-chip PallasBSROperator).
         from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
 
-        csr, s = _row_quantize_csr(csr)
+        csr, s = _row_quantize_csr(csr, qmax=7 if is_int4 else 127)
         row_scale = jnp.asarray(s.reshape(p, mloc))
     panels = [
         bucketed_block_ell_from_csr(
             csr[i * mloc:(i + 1) * mloc], block=block, dtype=dtype,
-            n_buckets=n_buckets, row_group=row_group)
+            n_buckets=n_buckets, row_group=row_group, pack_int4=is_int4)
         for i in range(p)
     ]
     nb = len(panels[0].buckets)
@@ -163,10 +170,24 @@ def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
         slab_blocks = nloc // bc
         smin = np.zeros(p, np.int64)
         smax = np.zeros(p, np.int64)
+        def _nonzero_block_mask(blocks_):
+            arr = np.asarray(blocks_)
+            if is_int4:
+                # per-NIBBLE nonzero mask, interleaved lo/hi to match the
+                # 2x-length bcols (a byte with a padded hi nibble must not
+                # mark the padding's bcol-0 and drag the window to slab 0)
+                a32 = arr.astype(np.int32)
+                lo = ((a32 & 15) ^ 8) - 8
+                hi = (((a32 >> 4) & 15) ^ 8) - 8
+                nbr_, mb_ = arr.shape[:2]
+                mlo = lo.reshape(nbr_, mb_, -1).any(axis=2)
+                mhi = hi.reshape(nbr_, mb_, -1).any(axis=2)
+                return np.stack([mlo, mhi], axis=2).reshape(nbr_, 2 * mb_)
+            return arr.reshape(arr.shape[0], arr.shape[1], -1).any(axis=2)
+
         for i, pl in enumerate(panels):
-            cols = [np.asarray(bcols_)[np.asarray(blocks_).reshape(
-                blocks_.shape[0], blocks_.shape[1], -1).any(axis=2)]
-                for blocks_, bcols_ in pl.buckets]
+            cols = [np.asarray(bcols_)[_nonzero_block_mask(blocks_)]
+                    for blocks_, bcols_ in pl.buckets]
             cols = (np.concatenate(cols) if cols else
                     np.zeros(0, np.int64))
             if cols.size == 0:
@@ -202,13 +223,14 @@ def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
         dmin, L = 0, p
 
     # --- mesh-uniform padding of the per-shard buckets ---
+    cw = 2 if is_int4 else 1  # bcols entries per stored block-axis slot
     buckets = []
     for b in range(nb):
         nbr_b = max(pl.buckets[b][0].shape[0] for pl in panels)
         maxb_b = max(pl.buckets[b][0].shape[1] for pl in panels)
         nbr_b = -(-nbr_b // row_group) * row_group
         blocks = np.zeros((p, nbr_b, maxb_b, br, bc), dtype)
-        bcols = np.zeros((p, nbr_b, maxb_b), np.int32)
+        bcols = np.zeros((p, nbr_b, cw * maxb_b), np.int32)
         for i, pl in enumerate(panels):
             blk, bcl = pl.buckets[b]
             nb_i, mb_i = blk.shape[0], blk.shape[1]
@@ -218,7 +240,7 @@ def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
                 # window-relative; real blocks never precede the window
                 # start, so the clip only touches zero-padding slots.
                 c = np.maximum(c - start[i] * slab_blocks, 0)
-            bcols[i, :nb_i, :mb_i] = c
+            bcols[i, :nb_i, :cw * mb_i] = c
         buckets.append((jnp.asarray(blocks),
                         jnp.asarray(bcols.reshape(p, -1))))
 
@@ -245,7 +267,7 @@ def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
         buckets, jnp.asarray(inv_perm), jnp.asarray(fwd_perm),
         jnp.asarray(start.astype(np.int32)), (m, n), ncb,
         S, slab_blocks, (dmin, L), row_group, p,
-        row_scale=row_scale, fro_sq=jnp.asarray(fro),
+        packed4=is_int4, row_scale=row_scale, fro_sq=jnp.asarray(fro),
     )
 
 
@@ -301,7 +323,8 @@ def local_matvec(sp: ShardedPanels, x_win2d, interpret: bool = False):
     for blocks, bcols in sp.buckets:
         ys.append(_bucket_matvec(bcols[0], blocks[0], x_win2d,
                                  interpret=interpret,
-                                 row_group=sp.row_group))
+                                 row_group=sp.row_group,
+                                 packed4=sp.packed4))
     y_sorted = jnp.concatenate(ys, axis=0).reshape(-1, br)
     y_rows = y_sorted[sp.inv_perm[0]]
     y = y_rows.reshape(-1)[:mloc]
@@ -332,7 +355,8 @@ def local_rmatvec_window(sp: ShardedPanels, u_loc, interpret: bool = False):
         nbr_b = blocks.shape[1]
         y2d = y2d + _bucket_rmatvec(
             bcols[0], blocks[0], u_sorted[off:off + nbr_b], sp.win_blocks,
-            interpret=interpret, row_group=sp.row_group)
+            interpret=interpret, row_group=sp.row_group,
+            packed4=sp.packed4)
         off += nbr_b
     return y2d
 

@@ -226,3 +226,60 @@ def test_int8_quantization_rowwise_exact_for_small_ints():
     np.testing.assert_allclose(s, [1.0, 1.0, 2.0 / 127.0])
     dense = (q.toarray() * s[:, None])
     np.testing.assert_allclose(dense, A.toarray(), atol=1e-12)
+
+
+def test_pallas_kernel_int4_packed(mats):
+    """Packed-int4 panels: pairs of per-row-quantized int4 values share one
+    int8 byte along the block axis (two's-complement nibbles; zero byte =
+    two zero blocks, so bucket padding stays valid).  Half int8's panel
+    bytes; matvec must be EXACT vs diag(s) Q with Q the +-7 quantizer."""
+    from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
+
+    A, x, u = mats
+    op = PallasBSROperator.from_csr(A, dtype="int4", interpret=True,
+                                    n_buckets=2)
+    assert op.dtype == jnp.float32
+    assert op.storage_dtype == jnp.dtype(jnp.int4)
+    assert op.fwd.packed4
+    # packed panel stores two logical blocks per byte: bcols axis is 2x the
+    # packed block axis
+    blocks, bcols = op.fwd.buckets[0]
+    assert bcols.shape[1] == 2 * blocks.shape[1]
+
+    csr_q, s = _row_quantize_csr(A, qmax=7)
+    xf = jnp.asarray(x, dtype=jnp.float32)
+    uf = jnp.asarray(u, dtype=jnp.float32)
+    y = np.asarray(op.matvec(xf))
+    y_ref = s * (csr_q @ np.asarray(xf, dtype=np.float64))
+    assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-6
+    # quantization error vs the exact operator stays ~7% on random data
+    ref = A @ x
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 0.1
+
+    # dedicated adjoint panel and the no-panel transposed-kernel fallback
+    z_ref = csr_q.T @ (s * np.asarray(uf, dtype=np.float64))
+    z = np.asarray(op.rmatvec(uf))
+    assert np.linalg.norm(z - z_ref) / np.linalg.norm(z_ref) < 1e-6
+    op2 = PallasBSROperator.from_csr(A, dtype="int4", interpret=True,
+                                     n_buckets=2, with_adjoint=False)
+    z2 = np.asarray(op2.rmatvec(uf))
+    assert np.linalg.norm(z2 - z_ref) / np.linalg.norm(z_ref) < 1e-6
+    # exact adjoint pair (GKB requirement)
+    lhs = float(jnp.vdot(op.matvec(xf), uf))
+    rhs = float(jnp.vdot(xf, op.rmatvec(uf)))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-5
+
+
+def test_int4_container_reference_matvec(mats):
+    """The BucketedBlockELL.matvec jnp reference path must decode packed
+    nibbles identically to the kernel (it is the kernel's oracle)."""
+    from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
+
+    A, x, _ = mats
+    csr_q, s = _row_quantize_csr(A, qmax=7)
+    bell = bucketed_block_ell_from_csr(csr_q, block=(8, 128), n_buckets=2,
+                                       pack_int4=True)
+    assert bell.packed4
+    y = s * np.asarray(bell.matvec(jnp.asarray(x, dtype=jnp.float32)))
+    y_ref = s * (csr_q @ x)
+    assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-6

@@ -169,3 +169,27 @@ def test_defer_histories_on_device_matches_masked():
     a1, a2 = np.asarray(r1.res_hist), np.asarray(r2.res_hist)
     np.testing.assert_allclose(e2, e1, rtol=2e-3, atol=1e-4)
     np.testing.assert_allclose(a2, a1, rtol=2e-3, atol=1e-4)
+
+
+def test_int4_packed_kernel_on_chip():
+    """Packed-int4 Mosaic lowering: the nibble decode ((raw<<28)>>28 /
+    (raw<<24)>>28 on int32) must match the exact diag(s) Q reference, and
+    the adjoint pair must stay exact."""
+    from hybrid_gmres_tpu.ops.spmv_pallas import (
+        PallasBSROperator, _row_quantize_csr)
+
+    A = _random_csr(1024, 512, seed=5)
+    op = PallasBSROperator.from_csr(A, dtype="int4", with_adjoint=True)
+    csr_q, s = _row_quantize_csr(A, qmax=7)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(A.shape[1]).astype(np.float32)
+    u = rng.standard_normal(A.shape[0]).astype(np.float32)
+    y = np.asarray(jax.block_until_ready(op.matvec(jnp.asarray(x))))
+    y_ref = s * (csr_q @ x.astype(np.float64))
+    assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-5
+    z = np.asarray(op.rmatvec(jnp.asarray(u)))
+    z_ref = csr_q.T @ (s * u.astype(np.float64))
+    assert np.linalg.norm(z - z_ref) / np.linalg.norm(z_ref) < 1e-5
+    lhs = float(jnp.vdot(op.matvec(jnp.asarray(x)), jnp.asarray(u)))
+    rhs = float(jnp.vdot(jnp.asarray(x), op.rmatvec(jnp.asarray(u))))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-4
