@@ -73,8 +73,12 @@ def main():
         # row-group tuning, packaged in problems.ct.ct_tpu_operators.
         from hybrid_gmres_tpu.problems.ct import ct_tpu_operators
 
+        import os
+        bench_dtype = os.environ.get("BENCH_DTYPE", "int8")
         A_op, B_op, _, x_true, ray_perm, pix_perm = ct_tpu_operators(
-            prob, dtype=jnp.int8, n_buckets=8)
+            prob, dtype=(jnp.int8 if bench_dtype == "int8" else bench_dtype),
+            n_buckets=8)
+        print(f"[bench] panel dtype: {bench_dtype}", file=sys.stderr)
         # keep the noise stream in ORIGINAL ray order (comparable across
         # orderings), then relabel the noisy sinogram
         b_exact = prob.b_exact
