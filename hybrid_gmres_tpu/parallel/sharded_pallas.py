@@ -27,10 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from hybrid_gmres_tpu.krylov.projected import (
-    projected_ls_solve,
-    projected_tikhonov_solve,
-)
+from hybrid_gmres_tpu.solvers.gmres import _make_project_solve
 from hybrid_gmres_tpu.parallel.panels import (
     ShardedPanels,
     gather_window,
@@ -72,6 +69,7 @@ def ba_gmres_sharded_pallas(
     tol: float = 1e-6,
     maxit: int = 50,
     lam=None,
+    gcv_grid=None,
     mesh: Mesh | None = None,
     axis: str = "rows",
     interpret: bool = False,
@@ -84,6 +82,9 @@ def ba_gmres_sharded_pallas(
     the transposed kernel, and its window-relative partial is
     reduce-scattered straight onto the n-sharded basis.  The TRUE residual
     comes from the stored A q_k images (2 SpMVs/iteration).
+    ``lam``: None (non-hybrid), scalar (hybrid PTR), or "gcv" (per-iteration
+    GCV-optimal lambda over ``gcv_grid``, evaluated shard-replicated with no
+    extra collectives).
     ``interpret=True`` runs the kernels in Pallas interpret mode (CPU mesh
     tests)."""
     if mesh is None:
@@ -133,11 +134,12 @@ def ba_gmres_sharded_pallas(
         x0 = jnp.zeros((nloc,), dtype=dtype)
         IMG0 = jnp.zeros((mloc, maxit), dtype=dtype)
 
-        if lam is None:
-            project_solve = lambda H, kdim: projected_ls_solve(H, t, kdim)
-        else:
-            project_solve = lambda H, kdim: projected_tikhonov_solve(
-                H, t, lam, kdim)
+        # None -> LS; scalar -> Tikhonov; "gcv" -> per-iteration
+        # GCV-optimal lambda (replicated H/t, so every shard picks the same
+        # lambda with zero extra collectives; trace_dim = n for BA, matching
+        # gcv_function.m:46-50)
+        _ps = _make_project_solve(lam, n, gcv_grid)
+        project_solve = lambda H, kdim: _ps(H, None, t, kdim)
 
         def body(carry, k):
             Q, H, x, active, niters, IMG = carry
@@ -206,6 +208,7 @@ def ab_gmres_sharded_pallas(
     tol: float = 1e-6,
     maxit: int = 50,
     lam=None,
+    gcv_grid=None,
     mesh: Mesh | None = None,
     axis: str = "rows",
     interpret: bool = False,
@@ -265,11 +268,9 @@ def ab_gmres_sharded_pallas(
         S0 = jnp.zeros((nloc, maxit), dtype=dtype)
         W0 = jnp.zeros((mloc, maxit), dtype=dtype)
 
-        if lam is None:
-            project_solve = lambda H, kdim: projected_ls_solve(H, t, kdim)
-        else:
-            project_solve = lambda H, kdim: projected_tikhonov_solve(
-                H, t, lam, kdim)
+        # trace_dim = m for AB (gcv_function.m:46-50); see BA note above
+        _ps = _make_project_solve(lam, m, gcv_grid)
+        project_solve = lambda H, kdim: _ps(H, None, t, kdim)
 
         def body(carry, k):
             Q, H, x, active, niters, S, W = carry

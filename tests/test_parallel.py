@@ -630,3 +630,33 @@ def test_sharded_panels_int4_packed():
     lhs = float(np.dot(np.asarray(y), u))
     rhs = float(np.dot(x, np.asarray(z)))
     assert abs(lhs - rhs) / max(abs(lhs), 1e-6) < 1e-5, (lhs, rhs)
+
+
+def test_sharded_pallas_adaptive_gcv_matches_single_device():
+    """lam='gcv' at scale: every shard evaluates the same replicated
+    projected-GCV objective (2 SVDs/iter, zero extra collectives) and picks
+    the same per-iteration lambda as the single-device solver."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu import ba_gmres
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_pallas, shard_bucketed_panels)
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 32, seed=11)
+    mesh = make_mesh()
+    p = mesh.devices.size
+    A_panels = shard_bucketed_panels(sp.csr_matrix(Ad), p)
+    BT_panels = shard_bucketed_panels(sp.csr_matrix(Bd.T), p)
+    grid = np.logspace(-6, -1, 12)
+    r_sh = ba_gmres_sharded_pallas(
+        A_panels, BT_panels, jnp.asarray(b), jnp.asarray(x_true),
+        tol=0.0, maxit=6, lam="gcv", gcv_grid=grid, mesh=mesh,
+        interpret=True)
+    r_ref = ba_gmres(jnp.asarray(Ad), jnp.asarray(Bd), jnp.asarray(b),
+                     jnp.asarray(x_true), tol=0.0, maxit=6, lam="gcv",
+                     gcv_grid=grid)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.err_hist),
+        np.asarray(r_ref.err_hist, dtype=np.float32), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.x), np.asarray(r_ref.x, dtype=np.float32),
+        rtol=1e-3, atol=1e-5)
