@@ -9,8 +9,11 @@ XLA matvec baseline.  Run on the TPU:
     python scripts/kernel_microbench.py [--n 64] [--angles 180] [--iters 30]
 
 Timing methodology (CLAUDE.md): the matvec is chained inside ONE jit so XLA
-cannot hoist the body, and a host readback forces completion; per-call
-tunnel dispatch (~20 ms) is amortized over ``--iters`` applications.
+cannot hoist the body, and a host readback forces completion.  The ~20 ms
+per-call tunnel dispatch would swamp a single-count measurement, so each
+dtype is timed at TWO chain lengths and the per-matvec cost is the slope
+``(t_hi - t_lo) / (iters_hi - iters_lo)`` — the same maxit-scaling method
+as the DESIGN.md §10 wall decomposition.
 """
 
 import argparse
@@ -20,12 +23,15 @@ import time
 import numpy as np
 
 
-def chained_apply(op, iters):
+def chained_apply(iters):
+    """jitted (op, x) -> x after ``iters`` chained matvecs.  The operator is
+    an ARGUMENT, not a closure — closed-over panels inline into the axon
+    remote-compile payload (HTTP 413; CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(x):
+    def run(op, x):
         def body(_, v):
             y = op.matvec(v)
             # carry depends on y so XLA cannot hoist the loop body; the
@@ -67,16 +73,20 @@ def main():
             A_op = type(A_op)(A_op.fwd, A_op.adj, interpret=True,
                               fwd_scale=A_op.fwd_scale,
                               adj_scale=A_op.adj_scale)
-        run = chained_apply(A_op, args.iters)
-        y = run(x)
-        float(jnp.sum(y))  # compile + sync
-        times = []
-        for _ in range(3):
-            t0 = time.time()
-            y = run(x)
-            float(jnp.sum(y))  # force readback
-            times.append(time.time() - t0)
-        dt_apply = min(times) / args.iters
+        def timed(iters):
+            run = chained_apply(iters)
+            y = run(A_op, x)
+            float(jnp.sum(y))  # compile + sync
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                y = run(A_op, x)
+                float(jnp.sum(y))  # force readback
+                times.append(time.time() - t0)
+            return min(times)
+
+        lo, hi = args.iters, 4 * args.iters
+        dt_apply = (timed(hi) - timed(lo)) / (hi - lo)
         panel_mb = A_op.fwd.nbytes / 1e6
         gbs = A_op.fwd.nbytes / dt_apply / 1e9
         rows.append((label, panel_mb, dt_apply * 1e6, gbs))
@@ -86,17 +96,21 @@ def main():
     # dense XLA baseline
     Ad = jnp.asarray(prob.A_csr.toarray().astype(np.float32))
 
-    class _Dense:
-        def matvec(self, v):
-            return Ad @ v
+    from hybrid_gmres_tpu.ops.linear_operator import DenseOperator
 
-    run = chained_apply(_Dense(), args.iters)
-    y = run(x)
-    float(jnp.sum(y))
-    t0 = time.time()
-    y = run(x)
-    float(jnp.sum(y))
-    dt_apply = (time.time() - t0) / args.iters
+    dop = DenseOperator(Ad)
+
+    def timed_dense(iters):
+        run = chained_apply(iters)
+        y = run(dop, x)
+        float(jnp.sum(y))
+        t0 = time.time()
+        y = run(dop, x)
+        float(jnp.sum(y))
+        return time.time() - t0
+
+    lo, hi = args.iters, 4 * args.iters
+    dt_apply = (timed_dense(hi) - timed_dense(lo)) / (hi - lo)
     print(f"dense panel {Ad.nbytes/1e6:7.1f} MB  {dt_apply*1e6:8.1f} us/"
           f"matvec  {Ad.nbytes/dt_apply/1e9:7.1f} GB/s")
 
