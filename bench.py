@@ -74,10 +74,17 @@ def main():
         from hybrid_gmres_tpu.problems.ct import ct_tpu_operators
 
         import os
-        bench_dtype = os.environ.get("BENCH_DTYPE", "int8")
+        _DTYPES = {"int8": jnp.int8, "int4": "int4", "i4": "int4",
+                   "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                   "f32": jnp.float32, "float32": jnp.float32}
+        raw = os.environ.get("BENCH_DTYPE", "int8").lower()
+        if raw not in _DTYPES:
+            raise SystemExit(
+                f"BENCH_DTYPE={raw!r} not recognized; accepted values: "
+                f"{sorted(_DTYPES)}")
+        bench_dtype = raw
         A_op, B_op, _, x_true, ray_perm, pix_perm = ct_tpu_operators(
-            prob, dtype=(jnp.int8 if bench_dtype == "int8" else bench_dtype),
-            n_buckets=8)
+            prob, dtype=_DTYPES[raw], n_buckets=8)
         print(f"[bench] panel dtype: {bench_dtype}", file=sys.stderr)
         # keep the noise stream in ORIGINAL ray order (comparable across
         # orderings), then relabel the noisy sinogram

@@ -378,6 +378,36 @@ def scatter_window_to_full(sp: ShardedPanels, y_win2d):
     return jnp.roll(full, off)
 
 
+def shard_view(sp: ShardedPanels, i: int) -> ShardedPanels:
+    """A p=1-style view of shard ``i``: every leaf sliced to ``[i:i+1]`` so
+    the shard_map-local primitives (``local_matvec``/``local_rmatvec_window``,
+    which index leaf ``[0]``) can be driven directly — used by the real-TPU
+    Mosaic tests (tests_tpu/test_sharded_tpu.py) to exercise window-relative
+    panels of a p>1 build on a single chip, and for kernel debugging."""
+    return jax.tree_util.tree_map(lambda a: a[i:i + 1], sp)
+
+
+def host_window_x(sp: ShardedPanels, i: int, x) -> jnp.ndarray:
+    """Host-side replica of ``gather_window`` for shard ``i`` of a FULL
+    (replicated) x — what the ppermute exchange would deliver.  Test/debug
+    only (no communication)."""
+    import numpy as np
+
+    bc = sp.block_shape[1]
+    x = np.asarray(x, np.float32)
+    n = sp.shape[1]
+    if not sp.windowed:
+        pad = np.zeros(sp.ncb * bc, np.float32)
+        pad[:n] = x
+        return jnp.asarray(pad.reshape(sp.ncb, bc))
+    p = sp.p
+    nloc = n // p
+    start = int(np.asarray(sp.win_start)[i])
+    slabs = [x[((start + s) % p) * nloc:((start + s) % p) * nloc + nloc]
+             for s in range(sp.win_slabs)]
+    return jnp.asarray(np.concatenate(slabs).reshape(sp.win_blocks, bc))
+
+
 def comms_bytes_per_iteration(A_panels: ShardedPanels,
                               itemsize: int = 4,
                               kdim: int = 0) -> dict:

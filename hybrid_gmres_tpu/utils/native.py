@@ -36,9 +36,15 @@ def _out_dir() -> str:
 
 def _build(name: str) -> str:
     src = os.path.join(_NATIVE_DIR, f"{name}.cpp")
-    out = os.path.join(_out_dir(), f"lib{name}.so")
-    if (not os.path.exists(out)
-            or os.path.getmtime(out) < os.path.getmtime(src)):
+    # Key the artifact by a content hash of the source, not mtime alone:
+    # two installed versions sharing the user cache dir must never reuse a
+    # stale build (mtime ordering across installs is meaningless).
+    import hashlib
+
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    out = os.path.join(_out_dir(), f"lib{name}-{digest}.so")
+    if not os.path.exists(out):
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
              "-o", out, src],

@@ -632,6 +632,58 @@ def test_sharded_panels_int4_packed():
     assert abs(lhs - rhs) / max(abs(lhs), 1e-6) < 1e-5, (lhs, rhs)
 
 
+def test_sharded_panels_int4_packed_windowed():
+    """int4 panels with the window ACTIVE (ADVICE r2): a banded operator on
+    a block-aligned mesh (n = p*128) must keep L < p with nibble-pair
+    storage — the per-nibble ``_nonzero_block_mask`` must not let a padded
+    hi nibble drag the window to slab 0 — and both kernels must match the
+    exact diag(s) Q reference through the ppermute exchange."""
+    import scipy.sparse as sp
+    from jax.sharding import PartitionSpec as P
+    from hybrid_gmres_tpu.parallel import shard_bucketed_panels
+    from hybrid_gmres_tpu.parallel.panels import (
+        gather_window, local_matvec, local_rmatvec_window,
+        scatter_window_to_full)
+    from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
+
+    p = 8
+    n = 128 * p
+    rng = np.random.default_rng(13)
+    diags = [rng.standard_normal(n - abs(o))
+             for o in (-130, -40, 0, 40, 130)]
+    Ad = sp.diags(diags, offsets=(-130, -40, 0, 40, 130)).tocsr().astype(
+        np.float32)
+    panels = shard_bucketed_panels(Ad, p, dtype="int4")
+    assert panels.packed4 and panels.windowed
+    dmin, L = panels.shifts
+    assert L < p, (dmin, L)
+
+    x = rng.standard_normal(n).astype(np.float32)
+    u = rng.standard_normal(n).astype(np.float32)
+    mesh = make_mesh()
+
+    def fwd(pan, x_loc):
+        return local_matvec(pan, gather_window(pan, x_loc, "rows"),
+                            interpret=True)
+
+    def rmv(pan, u_loc):
+        part = local_rmatvec_window(pan, u_loc, interpret=True)
+        return jax.lax.psum(scatter_window_to_full(pan, part), "rows")
+
+    y = jax.shard_map(fwd, mesh=mesh, in_specs=(P("rows"), P("rows")),
+                      out_specs=P("rows"), check_vma=False)(
+        panels, jnp.asarray(x))
+    z = jax.shard_map(rmv, mesh=mesh, in_specs=(P("rows"), P("rows")),
+                      out_specs=P(), check_vma=False)(panels, jnp.asarray(u))
+    Aq, sA = _row_quantize_csr(Ad, qmax=7)
+    ref_q = sA * (Aq @ x)
+    assert (np.linalg.norm(np.asarray(y) - ref_q)
+            / np.linalg.norm(ref_q)) < 1e-5
+    ref_t = Aq.T @ (sA * u)
+    assert (np.linalg.norm(np.asarray(z) - ref_t)
+            / np.linalg.norm(ref_t)) < 1e-5
+
+
 def test_sharded_pallas_adaptive_gcv_matches_single_device():
     """lam='gcv' at scale: every shard evaluates the same replicated
     projected-GCV objective (2 SVDs/iter, zero extra collectives) and picks

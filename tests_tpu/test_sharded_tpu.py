@@ -1,0 +1,191 @@
+"""Real-Mosaic coverage of the SHARDED Pallas tier (VERDICT r2 #1).
+
+Everything in parallel/panels.py + parallel/sharded_pallas.py had only ever
+run in Pallas interpret mode on a virtual CPU mesh.  This module compiles
+the same kernels with ``interpret=False`` on the bench chip:
+
+  * full sharded solvers (BA/AB GMRES, LSQR-on-panels) under a 1-device
+    mesh — real shard_map + Mosaic lowering of the mesh-uniform panels;
+  * the windowed kernels of a p=8 panel build driven DIRECTLY via
+    ``shard_view`` — window-relative bcols, the (win_blocks, bc) rmatvec
+    accumulation target, and the packed-int4 nibble decode, none of which a
+    1-device mesh can reach (p=1 always degenerates to the unwindowed path).
+
+Mirrors the hot loop of the reference at scale
+(/root/reference/BAgmres_hybrid_bounds.m:24-40).
+"""
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def _random_csr(m, n, density=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    A = sp.random(m, n, density=density, random_state=seed, format="csr",
+                  dtype=np.float64)
+    A.data = rng.standard_normal(A.nnz)
+    return A.astype(np.float32)
+
+
+def _banded_csr(m, n, halfband=20, seed=0):
+    """Banded operator: every row i touches columns near i*n/m — gives the
+    sharded build a window strictly smaller than the mesh (L < p)."""
+    rng = np.random.default_rng(seed)
+    rows, cols = [], []
+    for i in range(m):
+        c0 = int(i * n / m)
+        for dc in range(-halfband, halfband + 1):
+            if 0 <= c0 + dc < n:
+                rows.append(i)
+                cols.append(c0 + dc)
+    vals = rng.standard_normal(len(rows))
+    return sp.csr_matrix((vals, (rows, cols)), shape=(m, n)).astype(
+        np.float32)
+
+
+@pytest.fixture(scope="module")
+def onedev_problem():
+    from hybrid_gmres_tpu.parallel.panels import shard_bucketed_panels
+
+    A = _random_csr(512, 256)
+    B = (A.T * 1.0).tocsr()
+    rng = np.random.default_rng(1)
+    x_true = rng.standard_normal(256).astype(np.float32)
+    b = jnp.asarray(A @ x_true)
+    A_p = shard_bucketed_panels(A, 1)
+    BT_p = shard_bucketed_panels(B.T.tocsr(), 1)
+    return A, B, x_true, b, A_p, BT_p
+
+
+def test_ba_sharded_pallas_1dev_mosaic_matches_dense(onedev_problem):
+    """Non-interpret sharded BA-GMRES on a real 1-device TPU mesh == the
+    single-chip dense solver, full history."""
+    from hybrid_gmres_tpu.ops.linear_operator import DenseOperator
+    from hybrid_gmres_tpu.parallel.mesh import make_mesh
+    from hybrid_gmres_tpu.parallel.sharded_pallas import (
+        ba_gmres_sharded_pallas)
+    from hybrid_gmres_tpu.solvers.gmres import ba_gmres
+
+    A, B, x_true, b, A_p, BT_p = onedev_problem
+    mesh = make_mesh(1)
+    r = ba_gmres_sharded_pallas(A_p, BT_p, b, jnp.asarray(x_true), tol=0.0,
+                                maxit=10, lam=1e-3, mesh=mesh,
+                                interpret=False)
+    rd = ba_gmres(DenseOperator(jnp.asarray(A.toarray())),
+                  DenseOperator(jnp.asarray(B.toarray())), b,
+                  jnp.asarray(x_true), tol=0.0, maxit=10, lam=1e-3)
+    np.testing.assert_allclose(np.asarray(r.err_hist),
+                               np.asarray(rd.err_hist), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r.res_hist),
+                               np.asarray(rd.res_hist), rtol=1e-4, atol=1e-6)
+
+
+def test_ab_sharded_pallas_1dev_mosaic_matches_dense(onedev_problem):
+    from hybrid_gmres_tpu.ops.linear_operator import DenseOperator
+    from hybrid_gmres_tpu.parallel.mesh import make_mesh
+    from hybrid_gmres_tpu.parallel.sharded_pallas import (
+        ab_gmres_sharded_pallas)
+    from hybrid_gmres_tpu.solvers.gmres import ab_gmres
+
+    A, B, x_true, b, A_p, BT_p = onedev_problem
+    mesh = make_mesh(1)
+    r = ab_gmres_sharded_pallas(A_p, BT_p, b, jnp.asarray(x_true), tol=0.0,
+                                maxit=10, lam=1e-3, mesh=mesh,
+                                interpret=False)
+    rd = ab_gmres(DenseOperator(jnp.asarray(A.toarray())),
+                  DenseOperator(jnp.asarray(B.toarray())), b,
+                  jnp.asarray(x_true), tol=0.0, maxit=10, lam=1e-3)
+    np.testing.assert_allclose(np.asarray(r.err_hist),
+                               np.asarray(rd.err_hist), rtol=1e-4, atol=1e-6)
+
+
+def test_lsqr_sharded_panels_1dev_mosaic(onedev_problem):
+    """Sharded LSQR consuming panels (forward + transposed kernels as the
+    exact adjoint pair) under real Mosaic == the single-chip LSQR."""
+    from hybrid_gmres_tpu.parallel.mesh import make_mesh
+    from hybrid_gmres_tpu.parallel.sharded_gkb import lsqr_sharded
+    from hybrid_gmres_tpu.ops.linear_operator import DenseOperator
+    from hybrid_gmres_tpu.solvers.lsqr import lsqr
+
+    A, B, x_true, b, A_p, BT_p = onedev_problem
+    mesh = make_mesh(1)
+    r = lsqr_sharded(A_p, b, jnp.asarray(x_true), tol=0.0, maxit=12,
+                     mesh=mesh, interpret=False)
+    rd = lsqr(DenseOperator(jnp.asarray(A.toarray())), b,
+              jnp.asarray(x_true), tol=0.0, maxit=12)
+    np.testing.assert_allclose(np.asarray(r.err_hist),
+                               np.asarray(rd.err_hist), rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8", "int4"])
+def test_windowed_panel_kernels_p8_mosaic(dtype):
+    """Window-relative panels of a p=8 build through the REAL Mosaic
+    lowering: forward, transposed-accumulate-into-window, and the int4
+    nibble decode, asserted exactly against the (quantized) CSR products."""
+    from hybrid_gmres_tpu.parallel.panels import (
+        host_window_x, local_matvec, local_rmatvec_window,
+        scatter_window_to_full, shard_bucketed_panels, shard_view)
+
+    p = 8
+    m, n = p * 64, p * 128          # nloc = 128 -> block-aligned slabs
+    A = _banded_csr(m, n, seed=2)
+    panels = shard_bucketed_panels(A, p, dtype=dtype)
+    assert panels.windowed and panels.shifts[1] < p, (
+        "banded fixture must produce an active window")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(n).astype(np.float32)
+    u = rng.standard_normal(m).astype(np.float32)
+
+    if dtype == "float32":
+        want_y = A @ x
+        want_z = A.T @ u
+        tol = 2e-5
+    else:
+        from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
+
+        csr_q, s = _row_quantize_csr(A, qmax=7 if dtype == "int4" else 127)
+        want_y = s * (csr_q @ x.astype(np.float64))
+        want_z = csr_q.T @ (s * u.astype(np.float64))
+        tol = 1e-5
+
+    y = np.zeros(m, np.float32)
+    z = np.zeros(n, np.float64)
+    mloc = m // p
+    for i in range(p):
+        view = shard_view(panels, i)
+        xw = host_window_x(panels, i, x)
+        y[i * mloc:(i + 1) * mloc] = np.asarray(
+            local_matvec(view, xw, interpret=False))
+        part = local_rmatvec_window(
+            view, jnp.asarray(u[i * mloc:(i + 1) * mloc]), interpret=False)
+        z += np.asarray(scatter_window_to_full(view, part), np.float64)
+    assert np.linalg.norm(y - want_y) / np.linalg.norm(want_y) < tol
+    assert np.linalg.norm(z - want_z) / np.linalg.norm(want_z) < tol
+
+
+def test_sharded_int8_solver_1dev_mosaic(onedev_problem):
+    """Quantized sharded panels end-to-end under Mosaic: histories track the
+    dense run (int8 perturbation ~1e-4 on this operator)."""
+    from hybrid_gmres_tpu.ops.linear_operator import DenseOperator
+    from hybrid_gmres_tpu.parallel.mesh import make_mesh
+    from hybrid_gmres_tpu.parallel.panels import shard_bucketed_panels
+    from hybrid_gmres_tpu.parallel.sharded_pallas import (
+        ba_gmres_sharded_pallas)
+    from hybrid_gmres_tpu.solvers.gmres import ba_gmres
+
+    A, B, x_true, b, _, BT_p = onedev_problem
+    A_p8 = shard_bucketed_panels(A, 1, dtype="int8")
+    mesh = make_mesh(1)
+    r = ba_gmres_sharded_pallas(A_p8, BT_p, b, jnp.asarray(x_true), tol=0.0,
+                                maxit=8, lam=1e-3, mesh=mesh,
+                                interpret=False)
+    rd = ba_gmres(DenseOperator(jnp.asarray(A.toarray())),
+                  DenseOperator(jnp.asarray(B.toarray())), b,
+                  jnp.asarray(x_true), tol=0.0, maxit=8, lam=1e-3)
+    np.testing.assert_allclose(np.asarray(r.err_hist),
+                               np.asarray(rd.err_hist), rtol=2e-2, atol=1e-3)
