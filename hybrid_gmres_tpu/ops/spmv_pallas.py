@@ -268,12 +268,17 @@ class PallasBSROperator(LinearOperator):
     """
 
     def __init__(self, fwd: BucketedBlockELL, adj, interpret: bool = False,
-                 fwd_scale=None, adj_scale=None):
+                 fwd_scale=None, adj_scale=None, fro_sq=None):
         self.fwd = fwd
         self.adj = adj
         self.interpret = interpret
         self.fwd_scale = fwd_scale  # (m,) f32: y = scale * (Q x)
         self.adj_scale = adj_scale  # (n,) f32 for the transpose panel
+        # exact ||A||_F^2 of the SOURCE matrix, recorded at from_csr time so
+        # LSMR's normal-equation history (lsmr_solver.m:71) is real on this
+        # operator (matrix-free fallback would be NaN); None on older
+        # checkpointsless constructions.
+        self.fro_sq = fro_sq
 
     @classmethod
     def from_csr(cls, csr, block=(8, 128), dtype=jnp.float32,
@@ -290,6 +295,7 @@ class PallasBSROperator(LinearOperator):
             not isinstance(dtype, str) and np.dtype(dtype).name == "int4")
         dt = np.int8 if is_int4 else np.dtype(dtype)
         fwd_scale = adj_scale = None
+        fro_sq = jnp.asarray(float((csr.multiply(csr)).sum()), jnp.float32)
         csr_fwd = csr
         csr_adj = csr.T.tocsr() if with_adjoint else None
         if is_int4 or dt == np.int8:
@@ -314,11 +320,18 @@ class PallasBSROperator(LinearOperator):
             if with_adjoint else None
         )
         return cls(fwd, adj, interpret=interpret,
-                   fwd_scale=fwd_scale, adj_scale=adj_scale)
+                   fwd_scale=fwd_scale, adj_scale=adj_scale, fro_sq=fro_sq)
 
     @property
     def shape(self):
         return self.fwd.shape
+
+    @property
+    def fro_norm(self):
+        """Exact ``||A||_F`` of the source matrix (None if unrecorded)."""
+        if self.fro_sq is None:
+            return None
+        return jnp.sqrt(self.fro_sq)
 
     @property
     def dtype(self):
@@ -363,11 +376,11 @@ class PallasBSROperator(LinearOperator):
         return y.astype(out_dtype)
 
     def tree_flatten(self):
-        return (self.fwd, self.adj, self.fwd_scale, self.adj_scale), \
-            self.interpret
+        return (self.fwd, self.adj, self.fwd_scale, self.adj_scale,
+                self.fro_sq), self.interpret
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        fwd, adj, fwd_scale, adj_scale = children
+        fwd, adj, fwd_scale, adj_scale, fro_sq = children
         return cls(fwd, adj, interpret=aux,
-                   fwd_scale=fwd_scale, adj_scale=adj_scale)
+                   fwd_scale=fwd_scale, adj_scale=adj_scale, fro_sq=fro_sq)

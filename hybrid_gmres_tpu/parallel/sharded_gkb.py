@@ -133,17 +133,29 @@ def lsqr_sharded(
     mesh: Mesh | None = None,
     axis: str = "rows",
     interpret: bool = False,
+    resume_from=None,
 ) -> GKBResult:
     """Sharded LSQR (``lsqr_solver.m:20-47`` semantics: cheap per-iteration
     residual estimate ``|phi_bar|/||b||`` with the final entry patched to the
-    true residual).  ``A``: dense (m, n) array or :class:`ShardedPanels`."""
+    true residual).  ``A``: dense (m, n) array or :class:`ShardedPanels`.
+
+    ``resume_from``: a prior sharded result's ``.state`` — the carry's
+    vectors stay sharded across the checkpoint (x/v/w n-sharded, u
+    m-sharded); ``resume(run(k), K) == run(K)`` exactly.  The state's
+    histories are UNPATCHED (the true-residual final patch is re-applied
+    after resume), mirroring the single-chip ``solvers/lsqr.py``."""
+    from hybrid_gmres_tpu.solvers.common import GKBState
+
     mesh, p, m, n, maxit, is_panels = _prep(A, b, maxit, mesh, axis)
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
+    if resume_from is not None and k0 >= maxit:
+        raise ValueError(f"resume needs maxit > {k0}")
 
-    def solver(A_loc, b_loc, xt_loc):
+    def solver(A_loc, b_loc, xt_loc, *carry_in):
         matvec, rmatvec, _ = _local_ops(A_loc, is_panels, axis, dtype,
                                         interpret)
         pdot, pnorm, pnormalize = _collectives(axis, dtype)
@@ -151,10 +163,15 @@ def lsqr_sharded(
 
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
-        u, beta, _ = pnormalize(b_loc)
-        v, alpha, _ = pnormalize(rmatvec(u))
-        w = v
-        x0 = jnp.zeros((nloc,), dtype=dtype)
+        if carry_in:
+            carry0 = carry_in
+        else:
+            u, beta, _ = pnormalize(b_loc)
+            v, alpha, _ = pnormalize(rmatvec(u))
+            w = v
+            x0 = jnp.zeros((nloc,), dtype=dtype)
+            carry0 = (x0, u, v, w, beta, alpha, alpha, jnp.bool_(True),
+                      jnp.int32(0))
 
         def step(carry, k):
             x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters = carry
@@ -194,26 +211,39 @@ def lsqr_sharded(
             return (x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters), \
                 (res_rec, err_rec)
 
-        carry0 = (x0, u, v, w, beta, alpha, alpha, jnp.bool_(True),
-                  jnp.int32(0))
-        (x, *_rest, niters), (res_hist, err_hist) = jax.lax.scan(
-            step, carry0, jnp.arange(maxit, dtype=jnp.int32))
-
-        # Final-entry patch with the true residual (lsqr_solver.m:52).
+        carry_out, (res_hist, err_hist) = jax.lax.scan(
+            step, carry0, jnp.arange(k0, maxit, dtype=jnp.int32))
+        x, niters = carry_out[0], carry_out[8]
+        # True residual for the final-entry patch (lsqr_solver.m:52),
+        # applied OUTSIDE after history concatenation.
         true_res = pnorm(b_loc - matvec(x)) / b_norm
-        slot = jnp.maximum(niters - 1, 0)
-        res_hist = res_hist.at[slot].set(
-            jnp.where(niters > 0, true_res, res_hist[slot]))
-        return x, err_hist, res_hist, niters
+        return x, err_hist, res_hist, niters, true_res, carry_out
 
+    carry_specs = (P(axis), P(axis), P(axis), P(axis),  # x, u, v, w
+                   P(), P(), P(), P(), P())             # scalars/flags
+    in_specs = _specs(is_panels, axis)
+    args = (A, b, x_true)
+    if resume_from is not None:
+        in_specs = in_specs + carry_specs
+        args = args + tuple(resume_from.carry)
     f = jax.shard_map(
-        solver, mesh=mesh, in_specs=_specs(is_panels, axis),
-        out_specs=(P(axis), P(), P(), P()), check_vma=False)
-    x, err_hist, res_hist, niters = f(A, b, x_true)
+        solver, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(axis), P(), P(), P(), P(), carry_specs),
+        check_vma=False)
+    x, err_new, res_new, niters, true_res, carry_out = f(*args)
+    if resume_from is None:
+        res_hist, err_hist = res_new, err_new
+    else:
+        res_hist = jnp.concatenate([resume_from.res_hist, res_new])
+        err_hist = jnp.concatenate([resume_from.err_hist, err_new])
+    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist)
+    slot = jnp.maximum(niters - 1, 0)
+    res_hist = res_hist.at[slot].set(
+        jnp.where(niters > 0, true_res, res_hist[slot]))
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
-                     niters=niters)
+                     niters=niters, state=state)
 
 
 def hybrid_lsqr_sharded(

@@ -55,6 +55,12 @@ class GMRESResult(NamedTuple):
     Q: jax.Array          # (n_or_m, maxit+1) padded Krylov basis
     H: jax.Array          # (maxit+1, maxit) padded Hessenberg
     beta: jax.Array       # ||r0||
+    # Stored image bases of residual="fused" runs (None otherwise): IMG
+    # holds the per-step operator images spanning A x, S the first-stage
+    # images when the solution is image-composed (AB).  Checkpointing them
+    # makes fused runs resumable (utils/checkpoint.py).
+    IMG: Optional[jax.Array] = None   # (m_img, maxit)
+    S: Optional[jax.Array] = None     # (x_shape, maxit), AB fused only
 
 
 class GKBState(NamedTuple):
@@ -143,9 +149,10 @@ def gmres_core(
             raise ValueError("residual='fused' requires history=True (with "
                              "history=False only one final residual is "
                              "computed; use residual='true')")
-        if resume_from is not None:
-            raise ValueError("residual='fused' does not support resume_from "
-                             "(the image basis is not checkpointed)")
+        if resume_from is not None and resume_from.IMG is None:
+            raise ValueError(
+                "residual='fused' resume needs a checkpoint from a fused "
+                "run (resume_from.IMG is the stored image basis)")
     dtype = r0.dtype
     n = r0.shape[0]
 
@@ -195,9 +202,16 @@ def gmres_core(
             x_shape, breakdown_tol, Q0, H0, t, beta, dtype)
 
     if residual == "fused":
-        IMG0 = jnp.zeros((fused.rhs.shape[0], maxit), dtype=dtype)
-        S0 = (jnp.zeros((x_shape, maxit), dtype=dtype)
-              if fused.solution_from_image else None)
+        if resume_from is not None:
+            IMG0 = rs.IMG
+            S0 = rs.S if fused.solution_from_image else None
+            if fused.solution_from_image and S0 is None:
+                raise ValueError("fused resume of an image-composed (AB) "
+                                 "run needs resume_from.S")
+        else:
+            IMG0 = jnp.zeros((fused.rhs.shape[0], maxit), dtype=dtype)
+            S0 = (jnp.zeros((x_shape, maxit), dtype=dtype)
+                  if fused.solution_from_image else None)
     else:
         IMG0, S0 = None, None
 
@@ -244,7 +258,7 @@ def gmres_core(
         return (Qn, Hn, x, active, niters, IMG, S), (res_rec, err_rec)
 
     start_active = jnp.bool_(True) if resume_from is not None else (beta > 0)
-    (Q, H, x, _, niters, _, _), (res_hist, err_hist) = jax.lax.scan(
+    (Q, H, x, _, niters, IMG_f, S_f), (res_hist, err_hist) = jax.lax.scan(
         body,
         (Q0, H0, x0, start_active, jnp.int32(k0), IMG0, S0),
         jnp.arange(k0, maxit, dtype=jnp.int32),
@@ -252,7 +266,8 @@ def gmres_core(
     if k0 > 0:
         res_hist = jnp.concatenate([prior_res[:k0], res_hist])
         err_hist = jnp.concatenate([prior_err[:k0], err_hist])
-    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta,
+                       IMG=IMG_f, S=S_f)
 
 
 def _gmres_core_deferred(fused, project_solve, solution_fn, error_fn, maxit,
@@ -308,7 +323,8 @@ def _gmres_core_deferred(fused, project_solve, solution_fn, error_fn, maxit,
     err_hist = jnp.where(rec, err_full, nan)
     slot = jnp.maximum(niters - 1, 0)
     x = jnp.where(niters > 0, X[:, slot], jnp.zeros((x_shape,), dtype))
-    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=IMG,
+                       S=S_rows.T if fused.solution_from_image else None)
 
 
 def safe_normalize(vec):

@@ -60,8 +60,17 @@ def lsmr(
     eps = jnp.finfo(dtype).eps
     b_norm = jnp.linalg.norm(b)
     if fro_norm is None:
-        mat = getattr(A, "mat", None)
-        fro_norm = jnp.linalg.norm(mat) if mat is not None else jnp.asarray(jnp.nan, dtype)
+        # Prefer an operator-recorded exact value (PallasBSROperator stores
+        # ||A||_F at from_csr time — the production sparse path must not
+        # lose the lsmr_solver.m:71 history to a NaN fallback), then a
+        # dense .mat, then NaN for truly matrix-free operators.
+        op_fro = getattr(A, "fro_norm", None)
+        if op_fro is not None:
+            fro_norm = jnp.asarray(op_fro, dtype)
+        else:
+            mat = getattr(A, "mat", None)
+            fro_norm = (jnp.linalg.norm(mat) if mat is not None
+                        else jnp.asarray(jnp.nan, dtype))
 
     u, beta1, _ = _safe_normalize(b)
     v, alpha1, _ = _safe_normalize(A.rmatvec(u))
@@ -186,6 +195,25 @@ def lsmr(
     )
 
 
+def _hybrid_lsmr_projected(Bmat, alpha_next, beta_k, ab1, lam, kdim, maxit,
+                           rank1_mode, dtype):
+    """The per-iteration shifted projected LSMR solve
+    (``hybrid_lsmr_solver.m:37-45``): LHS ``(B'B)^2 + (alpha beta)^2 ee' +
+    lam I``, RHS ``alpha1 beta1 (B'B) e1`` — shared by the scan body and the
+    resume patch."""
+    BtB = Bmat.T @ Bmat  # zero outside the kdim x kdim block
+    G = BtB @ BtB
+    coef = (alpha_next * beta_k) ** 2
+    if rank1_mode == "last":
+        e_idx = kdim - 1
+    else:
+        e_idx = jnp.zeros((), jnp.int32)
+    e_vec = jax.nn.one_hot(e_idx, maxit, dtype=dtype)
+    G = G + coef * jnp.outer(e_vec, e_vec)
+    rhs = ab1 * BtB[:, 0]
+    return projected_gram_tikhonov_solve(G, rhs, lam, kdim)
+
+
 def hybrid_lsmr(
     A,
     b,
@@ -194,8 +222,25 @@ def hybrid_lsmr(
     maxit: int | None = None,
     lam: float = 1e-3,
     rank1_mode: str = "last",
+    reorth: bool = False,
+    resume_from=None,
 ) -> GKBResult:
-    """Hybrid LSMR: stored-basis GKB + per-iteration shifted projected solve."""
+    """Hybrid LSMR: stored-basis GKB + per-iteration shifted projected solve.
+
+    ``reorth=True`` fully reorthogonalizes both GKB bases (CGS2 against the
+    stored U/V) — holds the hybrid BA-GMRES == hybrid LSMR equivalence
+    (``run_equivalence_plots.m:48-58``) to FULL history depth on
+    ill-conditioned operators.
+
+    ``resume_from``: a prior result's ``.state`` (same ``lam`` /
+    ``rank1_mode`` / ``reorth``).  The reference holds a stale alpha at its
+    final iteration (``hybrid_lsmr_solver.m:26-33``, a maxit-dependent
+    artifact); the checkpoint carries the *advanced* recurrence and the
+    resume re-solves that entry under non-final semantics, so
+    ``resume(run(k), K) == run(K)`` exactly, including entry ``k-1``.
+    """
+    from hybrid_gmres_tpu.solvers.common import GKBState
+
     if rank1_mode not in ("last", "first"):
         raise ValueError("rank1_mode must be 'last' (textbook) or 'first' (reference-compat)")
     A = as_operator(A)
@@ -204,52 +249,44 @@ def hybrid_lsmr(
     maxit = int(maxit)
     dtype = b.dtype
     n = A.shape[1]
+    m = A.shape[0]
     b_norm = jnp.linalg.norm(b)
     error_fn = rel_error_fn(x_true)
 
-    u, beta1, _ = _safe_normalize(b)
-    v, alpha1, _ = _safe_normalize(A.rmatvec(u))
-    V0 = jnp.zeros((n, maxit), dtype=dtype).at[:, 0].set(v)
-    Bmat0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
-    x0 = jnp.zeros((n,), dtype=dtype)
+    def _purify(Basis, vec):
+        vec = vec - Basis @ (Basis.T @ vec)
+        return vec - Basis @ (Basis.T @ vec)
 
     def step(carry, k):
-        x, u, v, V, Bmat, alpha, active, niters = carry
+        x, u, v, V, Bmat, alpha, active, niters, U, ab1 = carry
         kdim = k + 1
 
         Bmat_n = Bmat.at[k, k].set(alpha)
-        u_n, beta_k, ok_u = _safe_normalize(A.matvec(v) - alpha * u)
+        uhat = A.matvec(v) - alpha * u
+        if reorth:
+            uhat = _purify(U, uhat)
+        u_n, beta_k, ok_u = _safe_normalize(uhat)
         Bmat_n = Bmat_n.at[k + 1, k].set(beta_k)
 
-        # Only advance the right basis while another column is needed; the
-        # final iteration reuses the stale alpha, as the reference does
-        # (hybrid_lsmr_solver.m:26-33).
-        def advance(_):
-            v2, alpha2, ok2 = _safe_normalize(A.rmatvec(u_n) - beta_k * v)
-            return v2, alpha2, ok2
-
-        def hold(_):
-            return v, alpha, jnp.bool_(True)
-
-        v_n, alpha_n, ok_v = jax.lax.cond(k < maxit - 1, advance, hold, None)
-        V_n = jax.lax.cond(
-            k < maxit - 1,
-            lambda _: V.at[:, jnp.minimum(k + 1, maxit - 1)].set(v_n),
-            lambda _: V,
-            None,
-        )
-
-        BtB = Bmat_n.T @ Bmat_n  # zero outside the kdim x kdim block
-        G = BtB @ BtB
-        coef = (alpha_n * beta_k) ** 2
-        if rank1_mode == "last":
-            e_idx = kdim - 1
+        # The carry always ADVANCES the right recurrence (so a checkpoint
+        # can continue exactly); the reference's stale-alpha final-iteration
+        # REPORTING (hybrid_lsmr_solver.m:26-33) is recovered with selects.
+        vhat = A.rmatvec(u_n) - beta_k * v
+        if reorth:
+            vhat = _purify(V, vhat)
+        v2, alpha2, ok2 = _safe_normalize(vhat)
+        adv = k < maxit - 1
+        alpha_rep = jnp.where(adv, alpha2, alpha)   # stale at final iter
+        ok_v = jnp.where(adv, ok2, jnp.bool_(True))
+        V_n = jax.lax.select(
+            adv, V.at[:, jnp.minimum(k + 1, maxit - 1)].set(v2), V)
+        if reorth:
+            U_n = U.at[:, k + 1].set(u_n)
         else:
-            e_idx = jnp.zeros((), jnp.int32)
-        e_vec = jax.nn.one_hot(e_idx, maxit, dtype=dtype)
-        G = G + coef * jnp.outer(e_vec, e_vec)
-        rhs = alpha1 * beta1 * BtB[:, 0]
-        y = projected_gram_tikhonov_solve(G, rhs, lam, kdim)
+            U_n = U
+
+        y = _hybrid_lsmr_projected(Bmat_n, alpha_rep, beta_k, ab1, lam,
+                                   kdim, maxit, rank1_mode, dtype)
         x_n = V_n @ y
 
         res_k = jnp.linalg.norm(b - A.matvec(x_n)) / b_norm
@@ -259,18 +296,73 @@ def hybrid_lsmr(
         nan = jnp.asarray(jnp.nan, dtype)
         x = jax.lax.select(adopt, x_n, x)
         u = jax.lax.select(adopt, u_n, u)
-        v = jax.lax.select(adopt, v_n, v)
+        v = jax.lax.select(adopt, v2, v)
         V = jax.lax.select(adopt, V_n, V)
         Bmat = jax.lax.select(adopt, Bmat_n, Bmat)
-        alpha = jnp.where(adopt, alpha_n, alpha)
+        if reorth:
+            U = jax.lax.select(adopt, U_n, U)
+        alpha = jnp.where(adopt, alpha2, alpha)
         res_rec = jnp.where(adopt, res_k, nan)
         err_rec = jnp.where(adopt, err_k, nan)
         niters = jnp.where(adopt, kdim, niters)
         active = adopt & (res_k > tol)
-        return (x, u, v, V, Bmat, alpha, active, niters), (res_rec, err_rec)
+        return (x, u, v, V, Bmat, alpha, active, niters, U, ab1), \
+            (res_rec, err_rec)
 
-    carry0 = (x0, u, v, V0, Bmat0, alpha1, jnp.bool_(True), jnp.int32(0))
-    (x, *_rest, niters), (res_hist, err_hist) = jax.lax.scan(
-        step, carry0, jnp.arange(maxit, dtype=jnp.int32)
+    if resume_from is None:
+        k0 = 0
+        u, beta1, _ = _safe_normalize(b)
+        v, alpha1, _ = _safe_normalize(A.rmatvec(u))
+        V0 = jnp.zeros((n, maxit), dtype=dtype).at[:, 0].set(v)
+        Bmat0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
+        x0 = jnp.zeros((n,), dtype=dtype)
+        U0 = (jnp.zeros((m, maxit + 1), dtype=dtype).at[:, 0].set(u)
+              if reorth else jnp.zeros((0, 0), dtype=dtype))
+        carry0 = (x0, u, v, V0, Bmat0, alpha1, jnp.bool_(True),
+                  jnp.int32(0), U0, alpha1 * beta1)
+        prior_res = prior_err = None
+    else:
+        k0 = resume_from.res_hist.shape[0]
+        if k0 >= maxit:
+            raise ValueError(f"resume needs maxit > {k0}")
+        (x0, u, v, Vp, Bp, alpha, active, niters, Up, ab1) = \
+            resume_from.carry
+        extra = maxit - Vp.shape[1]
+        V0 = jnp.pad(Vp, ((0, 0), (0, extra)))
+        Bmat0 = jnp.pad(Bp, ((0, extra), (0, extra)))
+        U0 = (jnp.pad(Up, ((0, 0), (0, extra))) if Up.size else Up)
+        prior_res, prior_err = resume_from.res_hist, resume_from.err_hist
+        # Re-solve entry k0-1 under NON-final semantics (the carried alpha
+        # is the advanced one): this is exactly what an uninterrupted run
+        # records at that iteration.
+        did = jnp.isfinite(prior_res[k0 - 1]) if k0 > 0 else jnp.bool_(False)
+        if k0 > 0:
+            beta_k = Bmat0[k0, k0 - 1]
+            y = _hybrid_lsmr_projected(Bmat0, alpha, beta_k, ab1, lam, k0,
+                                       maxit, rank1_mode, dtype)
+            x_patch = V0 @ y
+            res_p = jnp.linalg.norm(b - A.matvec(x_patch)) / b_norm
+            err_p = error_fn(x_patch)
+            x0 = jax.lax.select(did, x_patch, x0)
+            prior_res = prior_res.at[k0 - 1].set(
+                jnp.where(did, res_p, prior_res[k0 - 1]))
+            prior_err = prior_err.at[k0 - 1].set(
+                jnp.where(did, err_p, prior_err[k0 - 1]))
+            # exactly the uninterrupted run's post-iteration active flag:
+            # adopted there iff adopted here (did), continuing iff the
+            # re-solved (advanced-alpha) residual is still above tol
+            active = did & (res_p > tol)
+        carry0 = (x0, u, v, V0, Bmat0, alpha, active, niters, U0, ab1)
+
+    carry_out, (res_new, err_new) = jax.lax.scan(
+        step, carry0, jnp.arange(k0, maxit, dtype=jnp.int32)
     )
-    return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist, niters=niters)
+    x, niters = carry_out[0], carry_out[7]
+    if resume_from is None:
+        res_hist, err_hist = res_new, err_new
+    else:
+        res_hist = jnp.concatenate([prior_res, res_new])
+        err_hist = jnp.concatenate([prior_err, err_new])
+    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist)
+    return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
+                     niters=niters, state=state)

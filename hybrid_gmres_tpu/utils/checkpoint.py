@@ -16,8 +16,7 @@ from hybrid_gmres_tpu.solvers.common import GMRESResult
 
 
 def save_state(path: str, result: GMRESResult) -> None:
-    np.savez_compressed(
-        path,
+    d = dict(
         x=np.asarray(result.x),
         err_hist=np.asarray(result.err_hist),
         res_hist=np.asarray(result.res_hist),
@@ -26,6 +25,13 @@ def save_state(path: str, result: GMRESResult) -> None:
         H=np.asarray(result.H),
         beta=np.asarray(result.beta),
     )
+    # fused-residual image bases (present on residual="fused" runs; saving
+    # them is what makes the production fused mode resumable)
+    if result.IMG is not None:
+        d["IMG"] = np.asarray(result.IMG)
+    if result.S is not None:
+        d["S"] = np.asarray(result.S)
+    np.savez_compressed(path, **d)
 
 
 def load_state(path: str) -> GMRESResult:
@@ -38,6 +44,8 @@ def load_state(path: str) -> GMRESResult:
         Q=jnp.asarray(z["Q"]),
         H=jnp.asarray(z["H"]),
         beta=jnp.asarray(z["beta"]),
+        IMG=jnp.asarray(z["IMG"]) if "IMG" in z.files else None,
+        S=jnp.asarray(z["S"]) if "S" in z.files else None,
     )
 
 
@@ -53,6 +61,8 @@ def pad_state(result: GMRESResult, maxit: int) -> GMRESResult:
     Q = jnp.pad(result.Q, ((0, 0), (0, extra)))
     H = jnp.pad(result.H, ((0, extra), (0, extra)))
     nan = jnp.full((extra,), jnp.nan, dtype=dt)
+    pad_cols = lambda M: (None if M is None
+                          else jnp.pad(M, ((0, 0), (0, extra))))
     return GMRESResult(
         x=result.x,
         err_hist=jnp.concatenate([result.err_hist, nan]),
@@ -61,6 +71,8 @@ def pad_state(result: GMRESResult, maxit: int) -> GMRESResult:
         Q=Q,
         H=H,
         beta=result.beta,
+        IMG=pad_cols(result.IMG),
+        S=pad_cols(result.S),
     )
 
 

@@ -102,6 +102,22 @@ def test_ab_gmres_equals_lsqr_full_history_with_reorth(prob):
             == int(np.nanargmin(np.asarray(r_lsqr.err_hist))))
 
 
+def test_hybrid_ba_equals_hybrid_lsmr_full_history_with_reorth(prob):
+    """The HYBRID overlay oracle (run_equivalence_plots.m:48-58) asserted at
+    full history depth: with reorthogonalized GKB, hybrid LSMR (textbook
+    e_k e_k' rank-1 term) reproduces hybrid BA-GMRES's entire error history
+    and final solution on the ill-posed deriv2 problem — the hybrid twin of
+    the non-hybrid full-history oracles above (VERDICT r2 #6)."""
+    A, B, b, x_true = prob
+    r_ba = ba_gmres(A, B, b, x_true, tol=0.0, maxit=32, lam=LAM)
+    r_hl = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=32, lam=LAM,
+                       reorth=True)
+    np.testing.assert_allclose(
+        np.asarray(r_ba.err_hist), np.asarray(r_hl.err_hist), rtol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(r_ba.x), np.asarray(r_hl.x), rtol=1e-6, atol=1e-12)
+
+
 def test_equivalences_track_long_on_well_conditioned():
     rng = np.random.default_rng(3)
     A = jnp.asarray(rng.standard_normal((48, 32)) + 4.0 * np.eye(48, 32))

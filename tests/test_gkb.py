@@ -116,6 +116,38 @@ def test_lsmr_resume_equals_uninterrupted():
     assert int(r_res.niters) == int(r_full.niters)
 
 
+@pytest.mark.parametrize("reorth", [False, True])
+def test_hybrid_lsmr_resume_equals_uninterrupted(reorth, tmp_path):
+    """Hybrid LSMR resume (VERDICT r2 #5/#6): the checkpoint carries the
+    ADVANCED recurrence and the resume re-solves the boundary entry under
+    non-final semantics, so the full histories — including entry k0-1, where
+    the reference's stale-alpha final iteration would otherwise leave a
+    maxit-dependent artifact — match the uninterrupted run exactly."""
+    import numpy as np
+    from hybrid_gmres_tpu import hybrid_lsmr, generate_test_problem
+    from hybrid_gmres_tpu.problems import add_noise
+    from hybrid_gmres_tpu.utils.checkpoint import (
+        load_gkb_state, save_gkb_state)
+
+    A, b_exact, x_true = generate_test_problem("deriv2", 32)
+    b, _ = add_noise(b_exact, 1e-2, seed=0)
+    r_full = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=16, lam=1e-3,
+                         reorth=reorth)
+    r_half = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=8, lam=1e-3,
+                         reorth=reorth)
+    path = str(tmp_path / "hlsmr.npz")
+    save_gkb_state(path, r_half.state)
+    r_res = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=16, lam=1e-3,
+                        reorth=reorth, resume_from=load_gkb_state(path))
+    np.testing.assert_allclose(np.asarray(r_res.res_hist),
+                               np.asarray(r_full.res_hist), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_res.err_hist),
+                               np.asarray(r_full.err_hist), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_res.x), np.asarray(r_full.x),
+                               rtol=1e-11)
+    assert int(r_res.niters) == int(r_full.niters)
+
+
 def test_hybrid_lsqr_resume_equals_uninterrupted():
     import numpy as np
     from hybrid_gmres_tpu import hybrid_lsqr, generate_test_problem

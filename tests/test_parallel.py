@@ -332,6 +332,53 @@ def test_lsqr_sharded_matches_single_device(prob):
     assert int(r_sh.niters) == int(r_ref.niters)
 
 
+def test_lsqr_sharded_resume_equals_uninterrupted(prob):
+    """Sharded resume (VERDICT r2 #5): the checkpointed carry keeps its
+    vectors SHARDED across the boundary, continuation == uninterrupted run
+    including the re-applied true-residual final patch."""
+    from hybrid_gmres_tpu.parallel import lsqr_sharded
+
+    A, B, b, x_true = prob
+    mesh = make_mesh()
+    r_full = lsqr_sharded(A, b, x_true, tol=0.0, maxit=16, mesh=mesh)
+    r_half = lsqr_sharded(A, b, x_true, tol=0.0, maxit=8, mesh=mesh)
+    assert r_half.state is not None
+    r_res = lsqr_sharded(A, b, x_true, tol=0.0, maxit=16, mesh=mesh,
+                         resume_from=r_half.state)
+    np.testing.assert_allclose(np.asarray(r_res.res_hist),
+                               np.asarray(r_full.res_hist), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_res.err_hist),
+                               np.asarray(r_full.err_hist), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_res.x), np.asarray(r_full.x),
+                               rtol=1e-12)
+    assert int(r_res.niters) == int(r_full.niters)
+    # the saved state keeps the reference's UNPATCHED estimate history
+    # (lsqr_solver.m:44); the result re-applies the true-residual patch
+    assert (float(np.asarray(r_half.state.res_hist)[-1])
+            != float(np.asarray(r_half.res_hist)[-1]))
+
+
+def test_lsqr_sharded_panels_resume(prob):
+    """Resume composes with the Pallas-panel operator path."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import lsqr_sharded, shard_bucketed_panels
+
+    Ad, _, b, x_true = _sparse_pair(64, 32, seed=21)
+    mesh = make_mesh()
+    panels = shard_bucketed_panels(sp.csr_matrix(Ad), mesh.devices.size)
+    r_full = lsqr_sharded(panels, jnp.asarray(b), jnp.asarray(x_true),
+                          tol=0.0, maxit=12, mesh=mesh, interpret=True)
+    r_half = lsqr_sharded(panels, jnp.asarray(b), jnp.asarray(x_true),
+                          tol=0.0, maxit=6, mesh=mesh, interpret=True)
+    r_res = lsqr_sharded(panels, jnp.asarray(b), jnp.asarray(x_true),
+                         tol=0.0, maxit=12, mesh=mesh, interpret=True,
+                         resume_from=r_half.state)
+    np.testing.assert_allclose(np.asarray(r_res.res_hist),
+                               np.asarray(r_full.res_hist), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(r_res.x), np.asarray(r_full.x),
+                               rtol=1e-10, atol=1e-12)
+
+
 def test_hybrid_lsqr_sharded_matches_single_device(prob):
     from hybrid_gmres_tpu.solvers.lsqr import hybrid_lsqr
     from hybrid_gmres_tpu.parallel import hybrid_lsqr_sharded

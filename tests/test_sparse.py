@@ -283,3 +283,25 @@ def test_int4_container_reference_matvec(mats):
     y = s * np.asarray(bell.matvec(jnp.asarray(x, dtype=jnp.float32)))
     y_ref = s * (csr_q @ x)
     assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-6
+
+
+def test_pallas_operator_exact_fro_norm_feeds_lsmr_ar_hist(mats):
+    """PallasBSROperator records ||A||_F at build time (VERDICT r2 #6), so
+    LSMR's normal-equation history (lsmr_solver.m:71) is REAL on the
+    production sparse operator instead of the matrix-free NaN fallback."""
+    from hybrid_gmres_tpu.solvers.lsmr import lsmr
+
+    A, x, u = mats
+    A32 = A.astype(np.float32)
+    op = PallasBSROperator.from_csr(A32, interpret=True)
+    want = float(np.sqrt((A32.multiply(A32)).sum()))
+    assert op.fro_norm is not None
+    np.testing.assert_allclose(float(op.fro_norm), want, rtol=1e-6)
+
+    b = jnp.asarray((A32 @ np.random.default_rng(3).standard_normal(
+        A.shape[1])).astype(np.float32))
+    r = lsmr(op, b, tol=0.0, maxit=6)
+    ar = np.asarray(r.ar_hist)
+    assert np.isfinite(ar).all(), ar
+    r_ref = lsmr(jnp.asarray(A32.toarray()), b, tol=0.0, maxit=6)
+    np.testing.assert_allclose(ar, np.asarray(r_ref.ar_hist), rtol=1e-3)

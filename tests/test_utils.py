@@ -51,6 +51,58 @@ def test_resume_roundtrips_through_disk(prob, tmp_path):
                                rtol=1e-10)
 
 
+def test_fused_resume_equals_uninterrupted(prob):
+    """residual='fused' (the production fast path) is resumable: the stored
+    image basis is checkpointed with the factorization (VERDICT r2 #5), and
+    continuation reproduces the uninterrupted fused run."""
+    A, B, b, x_true = prob
+    full = hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=20, lam=1e-3,
+                       residual="fused")
+    part = hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=10, lam=1e-3,
+                       residual="fused")
+    assert part.IMG is not None
+    cont = hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=20, lam=1e-3,
+                       residual="fused", resume_from=part)
+    np.testing.assert_allclose(np.asarray(cont.err_hist),
+                               np.asarray(full.err_hist), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cont.res_hist),
+                               np.asarray(full.res_hist), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cont.x), np.asarray(full.x),
+                               rtol=1e-4, atol=1e-6)
+    # and the fused histories themselves equal the explicit-matvec mode
+    ref = hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=20, lam=1e-3)
+    np.testing.assert_allclose(np.asarray(cont.res_hist),
+                               np.asarray(ref.res_hist), rtol=1e-8)
+
+
+def test_fused_resume_ab_roundtrips_through_disk(prob, tmp_path):
+    """AB fused runs carry TWO image bases (S for the solution, IMG for the
+    residual); both survive a save/load roundtrip."""
+    A, B, b, x_true = prob
+    part = hg.ab_gmres(A, B, b, x_true, tol=0.0, maxit=8, lam=1e-3,
+                       residual="fused")
+    assert part.IMG is not None and part.S is not None
+    path = str(tmp_path / "fused.npz")
+    save_state(path, part)
+    loaded = load_state(path)
+    cont = hg.ab_gmres(A, B, b, x_true, tol=0.0, maxit=16, lam=1e-3,
+                       residual="fused", resume_from=loaded)
+    full = hg.ab_gmres(A, B, b, x_true, tol=0.0, maxit=16, lam=1e-3,
+                       residual="fused")
+    np.testing.assert_allclose(np.asarray(cont.res_hist),
+                               np.asarray(full.res_hist), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cont.x), np.asarray(full.x),
+                               rtol=1e-4, atol=1e-8)
+
+
+def test_fused_resume_rejects_unfused_checkpoint(prob):
+    A, B, b, x_true = prob
+    part = hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=8, lam=1e-3)
+    with pytest.raises(ValueError, match="fused"):
+        hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=16, lam=1e-3,
+                    residual="fused", resume_from=part)
+
+
 def test_pad_state_rejects_shrink(prob):
     A, B, b, x_true = prob
     part = hg.ba_gmres(A, B, b, x_true, tol=0.0, maxit=8, lam=1e-3)
