@@ -17,7 +17,13 @@ from hybrid_gmres_tpu.parallel.panels import (
 )
 from hybrid_gmres_tpu.parallel.sharded_pallas import (
     ab_gmres_sharded_pallas,
+    ab_gmres_sharded_pallas_restarted,
     ba_gmres_sharded_pallas,
+    ba_gmres_sharded_pallas_restarted,
+)
+from hybrid_gmres_tpu.parallel.sharded_rtp import (
+    ab_gmres_rtp_sharded,
+    ba_gmres_rtp_sharded,
 )
 from hybrid_gmres_tpu.parallel.sharded_gkb import (
     hybrid_lsmr_sharded,
@@ -48,6 +54,10 @@ __all__ = [
     "comms_bytes_per_iteration",
     "ba_gmres_sharded_pallas",
     "ab_gmres_sharded_pallas",
+    "ba_gmres_sharded_pallas_restarted",
+    "ab_gmres_sharded_pallas_restarted",
+    "ba_gmres_rtp_sharded",
+    "ab_gmres_rtp_sharded",
     "lsqr_sharded",
     "hybrid_lsqr_sharded",
     "lsmr_sharded",

@@ -43,6 +43,8 @@ __all__ = [
     "shard_bucketed_panels",
     "ba_gmres_sharded_pallas",
     "ab_gmres_sharded_pallas",
+    "ba_gmres_sharded_pallas_restarted",
+    "ab_gmres_sharded_pallas_restarted",
 ]
 
 
@@ -73,6 +75,7 @@ def ba_gmres_sharded_pallas(
     mesh: Mesh | None = None,
     axis: str = "rows",
     interpret: bool = False,
+    x0=None,
 ) -> GMRESResult:
     """Fully-sharded (hybrid) BA-GMRES with Pallas local SpMV on every shard.
 
@@ -85,6 +88,8 @@ def ba_gmres_sharded_pallas(
     ``lam``: None (non-hybrid), scalar (hybrid PTR), or "gcv" (per-iteration
     GCV-optimal lambda over ``gcv_grid``, evaluated shard-replicated with no
     extra collectives).
+    ``x0``: optional n-length (replicated) warm start — ``r0 = B (b - A
+    x0)``, ``x = x0 + Q y`` (the restart building block).
     ``interpret=True`` runs the kernels in Pallas interpret mode (CPU mesh
     tests)."""
     if mesh is None:
@@ -97,8 +102,11 @@ def ba_gmres_sharded_pallas(
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    have_x0 = x0 is not None
+    if not have_x0:
+        x0 = jnp.zeros((n,), dtype=dtype)
 
-    def solver(A_loc, BT_loc, b_loc, xt_loc):
+    def solver(A_loc, BT_loc, b_loc, xt_loc, x0_loc):
         nloc = n // p
         mloc = m // p
 
@@ -124,14 +132,17 @@ def ba_gmres_sharded_pallas(
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
 
-        r0_loc = B_mv_scatter(b_loc)
+        # warm start: residual image space shifts to rhs = b - A x0 (one
+        # extra SpMV at setup only; x0=0 keeps rhs = b exactly)
+        rhs_loc = b_loc - A_mv(x0_loc) if have_x0 else b_loc
+        r0_loc = B_mv_scatter(rhs_loc)
         beta = pnorm(r0_loc)
         t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
 
         Q0 = jnp.zeros((nloc, maxit + 1), dtype=dtype).at[:, 0].set(
             r0_loc / beta)
         H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
-        x0 = jnp.zeros((nloc,), dtype=dtype)
+        xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
         IMG0 = jnp.zeros((mloc, maxit), dtype=dtype)
 
         # None -> LS; scalar -> Tikhonov; "gcv" -> per-iteration
@@ -163,8 +174,8 @@ def ba_gmres_sharded_pallas(
 
             kdim = k + 1
             y = project_solve(Hn, kdim)
-            xk_loc = Qn[:, :maxit] @ y
-            r_loc = b_loc - IMG @ y
+            xk_loc = x0_loc + Qn[:, :maxit] @ y
+            r_loc = rhs_loc - IMG @ y
             res_k = pnorm(r_loc) / b_norm
             d_loc = xk_loc - xt_loc
             err_k = jnp.sqrt(pdot(d_loc, d_loc)) / xt_norm
@@ -181,7 +192,7 @@ def ba_gmres_sharded_pallas(
 
         (Q, H, x, _, niters, _), (res_hist, err_hist) = jax.lax.scan(
             body,
-            (Q0, H0, x0, jnp.bool_(True), jnp.int32(0), IMG0),
+            (Q0, H0, xc0, jnp.bool_(True), jnp.int32(0), IMG0),
             jnp.arange(maxit, dtype=jnp.int32),
         )
         return x, err_hist, res_hist, niters, Q, H, beta
@@ -189,12 +200,12 @@ def ba_gmres_sharded_pallas(
     f = jax.shard_map(
         solver,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(), P(), P(), P(axis, None), P(), P()),
         check_vma=False,
     )
     x, err_hist, res_hist, niters, Q, H, beta = f(
-        A_panels, BT_panels, b, x_true)
+        A_panels, BT_panels, b, x_true, x0)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
@@ -212,10 +223,12 @@ def ab_gmres_sharded_pallas(
     mesh: Mesh | None = None,
     axis: str = "rows",
     interpret: bool = False,
+    x0=None,
 ) -> GMRESResult:
     """Fully-sharded (hybrid) AB-GMRES: m-space Krylov basis sharded over
     rays, Pallas local SpMV (mirror of ``ABgmres_nonhybrid_bounds.m:24-37``
-    at scale).
+    at scale).  ``x0``: optional warm start (``r0 = b - A x0``,
+    ``x = x0 + S y`` — the restart building block).
 
     The image intermediates ``s_k = B q_k`` stay n-SHARDED (reduce_scatter,
     never replicated) and the raw images ``w_k = A s_k`` m-sharded, so the
@@ -234,8 +247,11 @@ def ab_gmres_sharded_pallas(
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    have_x0 = x0 is not None
+    if not have_x0:
+        x0 = jnp.zeros((n,), dtype=dtype)
 
-    def solver(A_loc, BT_loc, b_loc, xt_loc):
+    def solver(A_loc, BT_loc, b_loc, xt_loc, x0_loc):
         nloc = n // p
         mloc = m // p
 
@@ -259,12 +275,13 @@ def ab_gmres_sharded_pallas(
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
 
-        beta = b_norm
+        rhs_loc = b_loc - A_mv(x0_loc) if have_x0 else b_loc
+        beta = pnorm(rhs_loc)
         t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
         Q0 = jnp.zeros((mloc, maxit + 1), dtype=dtype).at[:, 0].set(
-            b_loc / beta)
+            rhs_loc / beta)
         H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
-        x0 = jnp.zeros((nloc,), dtype=dtype)
+        xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
         S0 = jnp.zeros((nloc, maxit), dtype=dtype)
         W0 = jnp.zeros((mloc, maxit), dtype=dtype)
 
@@ -295,8 +312,8 @@ def ab_gmres_sharded_pallas(
 
             kdim = k + 1
             y = project_solve(Hn, kdim)
-            xk_loc = S @ y                          # x = (B Q_k) y, n-sharded
-            r_loc = b_loc - W @ y                   # true residual, m-sharded
+            xk_loc = x0_loc + S @ y                 # x = x0 + (B Q_k) y
+            r_loc = rhs_loc - W @ y                 # true residual, m-sharded
             res_k = pnorm(r_loc) / b_norm
             d_loc = xk_loc - xt_loc
             err_k = jnp.sqrt(pdot(d_loc, d_loc)) / xt_norm
@@ -313,7 +330,7 @@ def ab_gmres_sharded_pallas(
 
         (Q, H, x, _, niters, _, _), (res_hist, err_hist) = jax.lax.scan(
             body,
-            (Q0, H0, x0, jnp.bool_(True), jnp.int32(0), S0, W0),
+            (Q0, H0, xc0, jnp.bool_(True), jnp.int32(0), S0, W0),
             jnp.arange(maxit, dtype=jnp.int32),
         )
         return x, err_hist, res_hist, niters, Q, H, beta
@@ -321,12 +338,70 @@ def ab_gmres_sharded_pallas(
     f = jax.shard_map(
         solver,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(), P(), P(), P(axis, None), P(), P()),
         check_vma=False,
     )
     x, err_hist, res_hist, niters, Q, H, beta = f(
-        A_panels, BT_panels, b, x_true)
+        A_panels, BT_panels, b, x_true, x0)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
+
+
+def _restarted_sharded(inner, A_panels, BT_panels, b, x_true, tol, restart,
+                       max_restarts, lam, mesh, axis, interpret,
+                       gcv_grid) -> GMRESResult:
+    """Outer restart loop over sharded cycles, chaining the warm start
+    ``x0`` — the distributed twin of ``solvers/gmres._restarted``
+    (MATLAB ``gmres(M, b, restart, ...)`` surface, run_2D_phantom.m:121)."""
+    import numpy as np
+
+    x0 = None
+    res_hists, err_hists = [], []
+    total_iters = 0
+    last = None
+    for _ in range(int(max_restarts)):
+        r = inner(A_panels, BT_panels, b, x_true, tol=tol,
+                  maxit=int(restart), lam=lam, gcv_grid=gcv_grid, mesh=mesh,
+                  axis=axis, interpret=interpret, x0=x0)
+        k = int(r.niters)
+        res_hists.append(np.asarray(r.res_hist)[:k])
+        err_hists.append(np.asarray(r.err_hist)[:k])
+        total_iters += k
+        x0 = r.x
+        last = r
+        if k == 0:
+            break  # breakdown or zero residual: no progress possible
+        last_res = float(np.asarray(r.res_hist)[k - 1])
+        if np.isnan(last_res) or last_res <= tol:
+            break
+    res_hist = jnp.asarray(np.concatenate(res_hists))
+    err_hist = jnp.asarray(np.concatenate(err_hists))
+    return GMRESResult(x=last.x, err_hist=err_hist, res_hist=res_hist,
+                       niters=jnp.int32(total_iters), Q=last.Q, H=last.H,
+                       beta=last.beta)
+
+
+def ba_gmres_sharded_pallas_restarted(
+    A_panels, BT_panels, b, x_true=None, tol: float = 1e-6,
+    restart: int = 20, max_restarts: int = 10, lam=None, gcv_grid=None,
+    mesh: Mesh | None = None, axis: str = "rows", interpret: bool = False,
+) -> GMRESResult:
+    """Restarted sharded BA-GMRES(restart): memory-bounded Krylov cycles at
+    scale; each cycle warm-starts from the previous sharded solution with no
+    resharding (``x0`` stays n-sharded on device)."""
+    return _restarted_sharded(ba_gmres_sharded_pallas, A_panels, BT_panels,
+                              b, x_true, tol, restart, max_restarts, lam,
+                              mesh, axis, interpret, gcv_grid)
+
+
+def ab_gmres_sharded_pallas_restarted(
+    A_panels, BT_panels, b, x_true=None, tol: float = 1e-6,
+    restart: int = 20, max_restarts: int = 10, lam=None, gcv_grid=None,
+    mesh: Mesh | None = None, axis: str = "rows", interpret: bool = False,
+) -> GMRESResult:
+    """Restarted sharded AB-GMRES(restart) (see the BA twin)."""
+    return _restarted_sharded(ab_gmres_sharded_pallas, A_panels, BT_panels,
+                              b, x_true, tol, restart, max_restarts, lam,
+                              mesh, axis, interpret, gcv_grid)
