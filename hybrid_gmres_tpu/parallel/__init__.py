@@ -35,6 +35,13 @@ from hybrid_gmres_tpu.parallel.sharded2d import (
     ba_gmres_sharded_2d,
     shard_problem_2d,
 )
+from hybrid_gmres_tpu.parallel.panels2d import (
+    TiledPanels,
+    ab_gmres_sharded_pallas_2d,
+    ba_gmres_sharded_pallas_2d,
+    comms_bytes_per_iteration_2d,
+    tile_bucketed_panels,
+)
 from hybrid_gmres_tpu.parallel.multihost import initialize_multihost
 
 __all__ = [
@@ -42,6 +49,11 @@ __all__ = [
     "make_mesh_2d",
     "ba_gmres_sharded_2d",
     "shard_problem_2d",
+    "TiledPanels",
+    "tile_bucketed_panels",
+    "ba_gmres_sharded_pallas_2d",
+    "ab_gmres_sharded_pallas_2d",
+    "comms_bytes_per_iteration_2d",
     "shard_problem",
     "sharded_ba_matvec",
     "sharded_ab_matvec",

@@ -32,10 +32,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from hybrid_gmres_tpu.krylov.projected import (
-    projected_ls_solve,
-    projected_tikhonov_solve,
-)
 from hybrid_gmres_tpu.solvers.common import GMRESResult
 
 __all__ = ["shard_problem_2d", "ba_gmres_sharded_2d"]
@@ -59,13 +55,16 @@ def ba_gmres_sharded_2d(
     tol: float = 1e-6,
     maxit: int = 50,
     lam=None,
+    gcv_grid=None,
     mesh: Mesh | None = None,
     axes=("rows", "cols"),
 ) -> GMRESResult:
     """Hybrid/non-hybrid BA-GMRES over a 2-D device mesh.
 
     ``mesh``: a 2-D mesh from ``make_mesh_2d``.  ``A`` (m, n) and ``B``
-    (n, m) dense (or GSPMD-placed via :func:`shard_problem_2d`).  The
+    (n, m) dense (or GSPMD-placed via :func:`shard_problem_2d`).
+    ``lam``: None / scalar / "gcv" (per-iteration GCV-optimal lambda over
+    ``gcv_grid``, evaluated replicated with no extra collectives).  The
     fused exact residual (stored row-sharded images ``A q_k``) is used
     throughout.  Returns the n-sharded-over-cols solution gathered to a
     replicated array by the out_specs.
@@ -116,11 +115,10 @@ def ba_gmres_sharded_2d(
         x0 = jnp.zeros((nloc,), dtype=dtype)
         IMG0 = jnp.zeros((mloc, maxit), dtype=dtype)
 
-        if lam is None:
-            project_solve = lambda H, kdim: projected_ls_solve(H, t, kdim)
-        else:
-            project_solve = lambda H, kdim: projected_tikhonov_solve(
-                H, t, lam, kdim)
+        from hybrid_gmres_tpu.solvers.gmres import _make_project_solve
+
+        _ps = _make_project_solve(lam, n, gcv_grid)
+        project_solve = lambda H, kdim: _ps(H, None, t, kdim)
 
         def body(carry, k):
             Q, H, x, active, niters, IMG = carry

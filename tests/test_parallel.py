@@ -853,3 +853,154 @@ def test_sharded_restarted_matches_single_device(kind):
     np.testing.assert_allclose(
         np.asarray(r_sh.x), np.asarray(r_ref.x, dtype=np.float32),
         rtol=1e-2, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh x Pallas panels — VERDICT r2 #2
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("grid", [(4, 2), (2, 4)])
+@pytest.mark.parametrize("kind", ["ba", "ab"])
+def test_tiled_panels_2d_solver_matches_dense(kind, grid):
+    """2-D (ray x pixel) mesh with per-tile bucketed Pallas SpMV == dense
+    single-device, on (4,2) and (2,4) CPU meshes — the sparse-format 2-D
+    path DESIGN §8 deferred (panel compression retained at scale)."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu import ab_gmres
+    from hybrid_gmres_tpu.parallel import (
+        ab_gmres_sharded_pallas_2d, ba_gmres_sharded_pallas_2d,
+        make_mesh_2d, tile_bucketed_panels)
+
+    pr, pc = grid
+    Ad, Bd, b, x_true = _sparse_pair(64, 32, seed=23)
+    mesh = make_mesh_2d((pr, pc))
+    A_tiles = tile_bucketed_panels(sp.csr_matrix(Ad), pr, pc)
+    BT_tiles = tile_bucketed_panels(sp.csr_matrix(Bd.T), pr, pc)
+    solver2d = (ba_gmres_sharded_pallas_2d if kind == "ba"
+                else ab_gmres_sharded_pallas_2d)
+    single = ba_gmres if kind == "ba" else ab_gmres
+    r_sh = solver2d(A_tiles, BT_tiles, jnp.asarray(b), jnp.asarray(x_true),
+                    tol=0.0, maxit=8, lam=1e-3, mesh=mesh, interpret=True)
+    r_ref = single(jnp.asarray(Ad), jnp.asarray(Bd), jnp.asarray(b),
+                   jnp.asarray(x_true), tol=0.0, maxit=8, lam=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.res_hist),
+        np.asarray(r_ref.res_hist, dtype=np.float32), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.err_hist),
+        np.asarray(r_ref.err_hist, dtype=np.float32), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.x), np.asarray(r_ref.x, dtype=np.float32),
+        rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", ["int8", "int4"])
+def test_tiled_panels_2d_quantized(dtype):
+    """Quantized 2-D tiles share ONE global per-row diag(s) Q, so the
+    cross-tile psum reduces exact integer images: the solver matches the
+    dense run on the exactly-quantized operator."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu import ba_gmres
+    from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_pallas_2d, make_mesh_2d, tile_bucketed_panels)
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 32, seed=24)
+    mesh = make_mesh_2d((4, 2))
+    A_tiles = tile_bucketed_panels(sp.csr_matrix(Ad), 4, 2, dtype=dtype)
+    BT_tiles = tile_bucketed_panels(sp.csr_matrix(Bd.T), 4, 2)
+    qmax = 7 if dtype == "int4" else 127
+    Aq_csr, sA = _row_quantize_csr(sp.csr_matrix(Ad), qmax=qmax)
+    Aq = jnp.asarray(sA[:, None] * Aq_csr.toarray(), dtype=jnp.float32)
+    r_sh = ba_gmres_sharded_pallas_2d(
+        A_tiles, BT_tiles, jnp.asarray(b), jnp.asarray(x_true), tol=0.0,
+        maxit=6, lam=1e-3, mesh=mesh, interpret=True)
+    r_ref = ba_gmres(Aq, jnp.asarray(Bd), jnp.asarray(b),
+                     jnp.asarray(x_true), tol=0.0, maxit=6, lam=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.res_hist),
+        np.asarray(r_ref.res_hist, dtype=np.float32), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.err_hist),
+        np.asarray(r_ref.err_hist, dtype=np.float32), rtol=2e-4, atol=1e-6)
+
+
+def test_tiled_panels_2d_adaptive_gcv():
+    """lam='gcv' on the 2-D tiled path picks the same per-iteration lambda
+    as the single-device adaptive solver."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu import ba_gmres
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_pallas_2d, make_mesh_2d, tile_bucketed_panels)
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 32, seed=25)
+    mesh = make_mesh_2d((2, 4))
+    A_tiles = tile_bucketed_panels(sp.csr_matrix(Ad), 2, 4)
+    BT_tiles = tile_bucketed_panels(sp.csr_matrix(Bd.T), 2, 4)
+    grid = np.logspace(-6, -1, 12)
+    r_sh = ba_gmres_sharded_pallas_2d(
+        A_tiles, BT_tiles, jnp.asarray(b), jnp.asarray(x_true), tol=0.0,
+        maxit=6, lam="gcv", gcv_grid=grid, mesh=mesh, interpret=True)
+    r_ref = ba_gmres(jnp.asarray(Ad), jnp.asarray(Bd), jnp.asarray(b),
+                     jnp.asarray(x_true), tol=0.0, maxit=6, lam="gcv",
+                     gcv_grid=grid)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.err_hist),
+        np.asarray(r_ref.err_hist, dtype=np.float32), rtol=2e-4, atol=1e-6)
+
+
+def test_dense_2d_adaptive_gcv():
+    """lam='gcv' on the dense 2-D SUMMA path (VERDICT r2 weak#5)."""
+    from hybrid_gmres_tpu import ba_gmres
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_2d, make_mesh_2d, shard_problem_2d)
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 32, seed=26)
+    mesh = make_mesh_2d((4, 2))
+    A2, B2, b2 = shard_problem_2d(jnp.asarray(Ad), jnp.asarray(Bd),
+                                  jnp.asarray(b), mesh)
+    grid = np.logspace(-6, -1, 12)
+    r_sh = ba_gmres_sharded_2d(A2, B2, b2, jnp.asarray(x_true), tol=0.0,
+                               maxit=6, lam="gcv", gcv_grid=grid, mesh=mesh)
+    r_ref = ba_gmres(jnp.asarray(Ad), jnp.asarray(Bd), jnp.asarray(b),
+                     jnp.asarray(x_true), tol=0.0, maxit=6, lam="gcv",
+                     gcv_grid=grid)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.err_hist), np.asarray(r_ref.err_hist, np.float32),
+        rtol=2e-4, atol=1e-6)
+
+
+def test_tiled_panels_2d_comms_model_and_compression():
+    """The 2-D comms model falls in BOTH mesh dimensions and the tiled
+    storage keeps the bucketed compression (<= a dense tile's bytes)."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        comms_bytes_per_iteration_2d, tile_bucketed_panels)
+    from hybrid_gmres_tpu.parallel.panels import comms_bytes_per_iteration
+    from hybrid_gmres_tpu.parallel import shard_bucketed_panels
+
+    rng = np.random.default_rng(30)
+    m = n = 1024
+    # structured (banded) operator: BLOCK sparsity is what the bucketed
+    # format compresses — a uniformly random pattern fills every (8,128)
+    # block and legitimately stores dense.  Mesh-uniform padding means
+    # near-empty tiles pad to the fullest tile's bucket shapes (the SPMD
+    # price); the CT pair's ray/pixel tiles are load-balanced so the real
+    # compression there matches the 1-D panels (DESIGN §7).
+    diags = [rng.standard_normal(n - abs(o)) for o in (-40, 0, 40)]
+    Ad = sp.diags(diags, offsets=(-40, 0, 40)).tocsr().astype(np.float32)
+    t42 = tile_bucketed_panels(Ad, 4, 2)
+    t24 = tile_bucketed_panels(Ad, 2, 4)
+    c42 = comms_bytes_per_iteration_2d(t42)
+    c24 = comms_bytes_per_iteration_2d(t24)
+    # vector bytes per device: m/pr + n/pc reductions
+    assert c42["A_reduce_bytes"] < c24["A_reduce_bytes"]  # pr 4 vs 2
+    assert c42["B_reduce_bytes"] > c24["B_reduce_bytes"]
+    # vs the 1-D full-gather bound at p=8 on the same operator: the 2-D
+    # total falls below the fixed O(n) 1-D floor
+    p1d = shard_bucketed_panels(Ad, 8, window=False)
+    c1d = comms_bytes_per_iteration(p1d)
+    assert c42["total_bytes"] < c1d["total_bytes"]
+    # compression: sparse tiles smaller than a dense tiling
+    dense_bytes = m * n * 4
+    assert t42.nbytes <= 0.55 * dense_bytes

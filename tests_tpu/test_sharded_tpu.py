@@ -189,3 +189,56 @@ def test_sharded_int8_solver_1dev_mosaic(onedev_problem):
                   jnp.asarray(x_true), tol=0.0, maxit=8, lam=1e-3)
     np.testing.assert_allclose(np.asarray(r.err_hist),
                                np.asarray(rd.err_hist), rtol=2e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int4"])
+def test_tiled_panels_2d_kernels_mosaic(dtype):
+    """2-D tiled panels under the REAL Mosaic lowering: per-tile forward
+    and transposed kernels driven directly (leading-axis views), partials
+    reduced on host exactly as the psum would, vs the (quantized) CSR
+    products."""
+    import jax.tree_util as jtu
+    from hybrid_gmres_tpu.parallel.panels2d import (
+        TiledPanels, tile_bucketed_panels, tile_matvec, tile_rmatvec)
+
+    pr, pc = 4, 2
+    m, n = 512, 256
+    A = _random_csr(m, n, seed=7)
+    tp = tile_bucketed_panels(A, pr, pc, dtype=dtype)
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(n).astype(np.float32)
+    u = rng.standard_normal(m).astype(np.float32)
+    mloc, nloc = m // pr, n // pc
+
+    if dtype == "float32":
+        want_y = A @ x
+        want_z = A.T @ u
+        scales = None
+    else:
+        from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
+
+        csr_q, s = _row_quantize_csr(A, qmax=7)
+        want_y = s * (csr_q @ x.astype(np.float64))
+        want_z = csr_q.T @ (s * u.astype(np.float64))
+        scales = s
+
+    y = np.zeros(m, np.float64)
+    z = np.zeros(n, np.float64)
+    for i in range(pr):
+        for j in range(pc):
+            d = i * pc + j
+            view = jtu.tree_map(lambda a: a[d:d + 1], tp)
+            part = np.asarray(tile_matvec(
+                view, jnp.asarray(x[j * nloc:(j + 1) * nloc]),
+                interpret=False), np.float64)
+            y[i * mloc:(i + 1) * mloc] += part
+            u_i = u[i * mloc:(i + 1) * mloc]
+            if scales is not None:
+                u_i = scales[i * mloc:(i + 1) * mloc] * u_i
+            z[j * nloc:(j + 1) * nloc] += np.asarray(tile_rmatvec(
+                view, jnp.asarray(u_i.astype(np.float32)),
+                interpret=False), np.float64)
+    if scales is not None:
+        y = scales * y
+    assert np.linalg.norm(y - want_y) / np.linalg.norm(want_y) < 2e-5
+    assert np.linalg.norm(z - want_z) / np.linalg.norm(want_z) < 2e-5
