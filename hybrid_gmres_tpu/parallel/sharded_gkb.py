@@ -480,15 +480,20 @@ def hybrid_lsmr_sharded(
     x_true=None,
     tol: float = 1e-6,
     maxit: int | None = None,
-    lam: float = 1e-3,
+    lam=1e-3,
     rank1_mode: str = "last",
     mesh: Mesh | None = None,
     axis: str = "rows",
     interpret: bool = False,
+    gcv_grid=None,
 ) -> GKBResult:
     """Sharded hybrid LSMR: GKB with the right basis V row-sharded over the
     image axis, bidiagonal B_k replicated, and the per-iteration shifted
     projected solve (``hybrid_lsmr_solver.m:37-45``) replicated (tiny).
+
+    ``lam``: scalar, or ``"gcv"`` — HyBR-style per-iteration adaptive
+    selection on the replicated projected bidiagonal problem (every shard
+    picks the same lambda, zero extra collectives).
 
     Unlike the single-chip variant's ``lax.cond``, the final-iteration basis
     advance always executes (its collectives must run on every shard) and
@@ -500,6 +505,17 @@ def hybrid_lsmr_sharded(
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    adaptive = isinstance(lam, str)
+    if adaptive:
+        if lam != "gcv":
+            raise ValueError("lam must be a scalar or 'gcv'")
+        import numpy as _np
+
+        from hybrid_gmres_tpu.reg.gcv import gcv_factors, gcv_from_factors
+
+        grid = jnp.asarray(
+            _np.logspace(-8, -1, 50) if gcv_grid is None else gcv_grid,
+            dtype=dtype)
 
     def solver(A_loc, b_loc, xt_loc):
         matvec, rmatvec, _ = _local_ops(A_loc, is_panels, axis, dtype,
@@ -544,7 +560,15 @@ def hybrid_lsmr_sharded(
             e_vec = jax.nn.one_hot(e_idx, maxit, dtype=dtype)
             G = G + coef * jnp.outer(e_vec, e_vec)
             rhs = alpha1 * beta1 * BtB[:, 0]
-            y = projected_gram_tikhonov_solve(G, rhs, lam, kdim)
+            if adaptive:
+                t = jnp.zeros((maxit + 1,), dtype).at[0].set(b_norm)
+                factors = gcv_factors(Bmat_n, t, kdim)
+                vals = jax.vmap(
+                    lambda l: gcv_from_factors(factors, l, n))(grid)
+                lam_k = grid[jnp.argmin(vals)]
+            else:
+                lam_k = lam
+            y = projected_gram_tikhonov_solve(G, rhs, lam_k, kdim)
             x_n = V_n @ y
 
             res_k = pnorm(b_loc - matvec(x_n)) / b_norm

