@@ -66,6 +66,31 @@ _WORKER = textwrap.dedent("""
     err = np.asarray(jax.device_get(r.err_hist))
     expect = np.asarray([float(t) for t in sys.argv[3].split(",")])
     np.testing.assert_allclose(err, expect, rtol=1e-9)
+
+    # the production sharded-Pallas panel path across the two processes:
+    # every panel leaf is device_put to its global (leading-axis) sharding
+    import scipy.sparse as sp
+    from jax.sharding import NamedSharding
+    from hybrid_gmres_tpu.parallel import (ba_gmres_sharded_pallas,
+                                           shard_bucketed_panels)
+
+    A_np = np.asarray(A)
+    def _place(tree):
+        def put(a):
+            spec = P(*(("rows",) + (None,) * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+        return jax.tree_util.tree_map(put, tree)
+
+    A_p = _place(shard_bucketed_panels(sp.csr_matrix(A_np), 2))
+    BT_p = _place(shard_bucketed_panels(sp.csr_matrix(A_np), 2))  # B=A^T
+    b_g = jax.device_put(np.asarray(b), NamedSharding(mesh, P("rows")))
+    xt_g = jax.device_put(np.asarray(x_true),
+                          NamedSharding(mesh, P("rows")))
+    r2 = ba_gmres_sharded_pallas(A_p, BT_p, b_g, xt_g, tol=1e-12, maxit=4,
+                                 lam=1e-3, mesh=mesh, interpret=True)
+    err2 = np.asarray(jax.device_get(r2.err_hist))
+    expect2 = np.asarray([float(t) for t in sys.argv[4].split(",")])
+    np.testing.assert_allclose(err2, expect2, rtol=1e-6)
     print(f"WORKER{pid} OK")
 """)
 
@@ -80,9 +105,12 @@ def _free_port():
 
 def test_two_process_distributed_psum_and_solve():
     import numpy as np
+    import scipy.sparse as sp
     import jax.numpy as jnp
     from hybrid_gmres_tpu.parallel import make_mesh, shard_problem
-    from hybrid_gmres_tpu.parallel import ba_gmres_sharded_basis
+    from hybrid_gmres_tpu.parallel import (ba_gmres_sharded_basis,
+                                           ba_gmres_sharded_pallas,
+                                           shard_bucketed_panels)
 
     # single-process expected histories on a 2-device mesh
     rng = np.random.default_rng(0)
@@ -94,6 +122,11 @@ def test_two_process_distributed_psum_and_solve():
     r = ba_gmres_sharded_basis(A_s, B_s, b_s, x_true, tol=1e-12, maxit=4,
                                lam=1e-3, mesh=mesh)
     expect = ",".join(repr(float(v)) for v in np.asarray(r.err_hist))
+    A_p = shard_bucketed_panels(sp.csr_matrix(np.asarray(A)), 2)
+    BT_p = shard_bucketed_panels(sp.csr_matrix(np.asarray(A)), 2)
+    r2 = ba_gmres_sharded_pallas(A_p, BT_p, b, x_true, tol=1e-12, maxit=4,
+                                 lam=1e-3, mesh=mesh, interpret=True)
+    expect2 = ",".join(repr(float(v)) for v in np.asarray(r2.err_hist))
 
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
@@ -102,7 +135,8 @@ def test_two_process_distributed_psum_and_solve():
         os.path.abspath(__file__)))
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(port), str(pid), expect],
+            [sys.executable, "-c", _WORKER, str(port), str(pid), expect,
+             expect2],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True)
         for pid in (0, 1)
