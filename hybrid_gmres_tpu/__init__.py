@@ -33,6 +33,10 @@ from hybrid_gmres_tpu.solvers.gmres import (
     ba_gmres_restarted,
 )
 from hybrid_gmres_tpu.solvers.rtp import ab_gmres_rtp, ba_gmres_rtp
+from hybrid_gmres_tpu.solvers.batched import (
+    ab_gmres_batched,
+    ba_gmres_batched,
+)
 from hybrid_gmres_tpu.solvers.lsqr import lsqr, hybrid_lsqr
 from hybrid_gmres_tpu.solvers.lsmr import lsmr, hybrid_lsmr
 
@@ -51,6 +55,8 @@ __all__ = [
     "ab_gmres",
     "ab_gmres_restarted",
     "ba_gmres_restarted",
+    "ba_gmres_batched",
+    "ab_gmres_batched",
     "ba_gmres",
     "ab_gmres_rtp",
     "ba_gmres_rtp",

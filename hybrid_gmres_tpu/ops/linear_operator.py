@@ -33,6 +33,17 @@ class LinearOperator:
         the back-projector's action, which need not equal ``A^T u``."""
         raise NotImplementedError
 
+    def matmat(self, X):
+        """Multi-RHS action Y (m, R) = A @ X (n, R).  Default: vmapped
+        matvec (one operator application per column); kernel-backed
+        operators override with a true SpMM (one panel read for all R —
+        ``PallasBSROperator.matmat``)."""
+        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(X)
+
+    def rmatmat(self, U):
+        """Multi-RHS adjoint action Y (n, R) = A' @ U (m, R)."""
+        return jax.vmap(self.rmatvec, in_axes=1, out_axes=1)(U)
+
     def __call__(self, v):
         return self.matvec(v)
 
@@ -97,6 +108,12 @@ class DenseOperator(LinearOperator):
 
     def rmatvec(self, u):
         return self.mat.T @ u
+
+    def matmat(self, X):
+        return self.mat @ X
+
+    def rmatmat(self, U):
+        return self.mat.T @ U
 
     def todense(self):
         return self.mat

@@ -217,6 +217,176 @@ def bucketed_bsr_matvec(bell: BucketedBlockELL, x, interpret=False):
     return y_rows.reshape(-1)[:m].astype(x.dtype)
 
 
+def _bucket_matmat(bcols_flat, blocks, x3d, interpret=False, row_group=None,
+                   packed4=False):
+    """Multi-RHS forward kernel (SpMM): blocks (nbr, maxb, br, bc) x
+    x3d (ncb, R, bc) -> y (nbr*br, R).
+
+    Same panel traffic as the single-RHS kernel, R times the arithmetic
+    intensity — the serving-batch primitive (reconstruct R sinograms per
+    panel read).  Layout: each RHS keeps the (ncb, bc) 2-D frame of the
+    single-RHS kernel, stacked on a middle axis so the dynamic sublane
+    slice ``x3d[bcol]`` stays a native (R, bc) tile stack.
+    """
+    nbr, maxb, br, bc = blocks.shape
+    R = x3d.shape[1]
+    G = _ROW_GROUP if row_group is None else row_group
+    assert nbr % G == 0
+    maxb_log = 2 * maxb if packed4 else maxb
+
+    def kernel(bcols_ref, blocks_ref, x3d_ref, out_ref):
+        i = pl.program_id(0)
+        for g in range(G):
+            def body(j, acc):
+                blk = blocks_ref[g, j]
+                if packed4:
+                    raw = blk.astype(jnp.int32)
+                    c0 = bcols_ref[(i * G + g) * maxb_log + 2 * j]
+                    c1 = bcols_ref[(i * G + g) * maxb_log + 2 * j + 1]
+                    lo = ((raw << 28) >> 28).astype(jnp.float32)
+                    hi = ((raw << 24) >> 28).astype(jnp.float32)
+                    acc = acc + lo[:, None, :] * x3d_ref[pl.ds(c0, 1), :, :]
+                    return acc + hi[:, None, :] * x3d_ref[pl.ds(c1, 1), :, :]
+                c = bcols_ref[(i * G + g) * maxb + j]
+                xs = x3d_ref[pl.ds(c, 1), :, :]          # (1, R, bc)
+                return acc + blk.astype(jnp.float32)[:, None, :] * xs
+
+            acc = jax.lax.fori_loop(
+                0, maxb, body, jnp.zeros((br, R, bc), jnp.float32),
+                unroll=maxb,
+            )
+            out_ref[pl.ds(g * br, br), :] = jnp.sum(acc, axis=2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr // G,),
+        in_specs=[
+            pl.BlockSpec((G, maxb, br, bc), lambda i, b: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G * br, R), lambda i, b: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr * br, R), jnp.float32),
+        interpret=interpret,
+    )(bcols_flat, blocks, x3d)
+
+
+def _bucket_rmatmat(bcols_flat, blocks, u_rows, ncb, interpret=False,
+                    row_group=None, packed4=False):
+    """Multi-RHS transposed kernel: y (ncb, R, bc) += blocks^T u_rows with
+    u_rows (total, br, R) (row-sorted like the single-RHS kernel)."""
+    nbr, maxb, br, bc = blocks.shape
+    R = u_rows.shape[2]
+    G = _ROW_GROUP if row_group is None else row_group
+    assert nbr % G == 0
+    maxb_log = 2 * maxb if packed4 else maxb
+
+    def kernel(bcols_ref, blocks_ref, u_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:, :, :] = jnp.zeros_like(out_ref)
+
+        for g in range(G):
+            u_g = u_ref[g]                                # (br, R)
+
+            def body(j, _):
+                blk = blocks_ref[g, j]
+                if packed4:
+                    raw = blk.astype(jnp.int32)
+                    c0 = bcols_ref[(i * G + g) * maxb_log + 2 * j]
+                    c1 = bcols_ref[(i * G + g) * maxb_log + 2 * j + 1]
+                    lo = ((raw << 28) >> 28).astype(jnp.float32)
+                    hi = ((raw << 24) >> 28).astype(jnp.float32)
+                    out_ref[pl.ds(c0, 1), :, :] += jnp.sum(
+                        lo[:, None, :] * u_g[:, :, None], axis=0,
+                        keepdims=True)
+                    out_ref[pl.ds(c1, 1), :, :] += jnp.sum(
+                        hi[:, None, :] * u_g[:, :, None], axis=0,
+                        keepdims=True)
+                    return 0
+                c = bcols_ref[(i * G + g) * maxb + j]
+                contrib = jnp.sum(
+                    blk.astype(jnp.float32)[:, None, :] * u_g[:, :, None],
+                    axis=0, keepdims=True)                # (1, R, bc)
+                out_ref[pl.ds(c, 1), :, :] += contrib
+                return 0
+
+            jax.lax.fori_loop(0, maxb, body, 0, unroll=maxb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr // G,),
+        in_specs=[
+            pl.BlockSpec((G, maxb, br, bc), lambda i, b: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, br, R), lambda i, b: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ncb, R, bc), lambda i, b: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ncb, R, bc), jnp.float32),
+        interpret=interpret,
+    )(bcols_flat, blocks, u_rows)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bucketed_bsr_matmat(bell: BucketedBlockELL, X, interpret=False):
+    """Y (m, R) = A @ X for X (n, R) through the multi-RHS kernel — one
+    panel read for all R columns."""
+    br, bc = bell.block_shape
+    m, n = bell.shape
+    R = X.shape[1]
+    n_pad = bell.ncb * bc
+    x3d = jnp.zeros((n_pad, R), jnp.float32).at[:n].set(
+        X.astype(jnp.float32)).reshape(bell.ncb, bc, R).transpose(0, 2, 1)
+    ys = [
+        _bucket_matmat(bcols.reshape(-1), blocks, x3d, interpret=interpret,
+                       row_group=bell.row_group, packed4=bell.packed4)
+        for blocks, bcols in bell.buckets
+    ]
+    y_sorted = jnp.concatenate(ys, axis=0).reshape(-1, br, R)
+    y_rows = y_sorted[bell.inv_perm]
+    return y_rows.reshape(-1, R)[:m].astype(X.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bucketed_bsr_rmatmat(bell: BucketedBlockELL, U, interpret=False):
+    """Y (n, R) = A^T @ U for U (m, R) through the multi-RHS transposed
+    kernel (same panel as forward)."""
+    br, bc = bell.block_shape
+    m, n = bell.shape
+    R = U.shape[1]
+    nbr = -(-m // br)
+    total = sum(blocks.shape[0] for blocks, _ in bell.buckets)
+    perm = jnp.full((total,), -1, jnp.int32).at[bell.inv_perm].set(
+        jnp.arange(nbr, dtype=jnp.int32))
+    u_pad = jnp.zeros((nbr * br, R), jnp.float32).at[:m].set(
+        U.astype(jnp.float32)).reshape(nbr, br, R)
+    u_sorted = jnp.where((perm >= 0)[:, None, None],
+                         u_pad[jnp.clip(perm, 0)], 0.0)  # (total, br, R)
+    y3d = jnp.zeros((bell.ncb, R, bc), jnp.float32)
+    off = 0
+    for blocks, bcols in bell.buckets:
+        nbr_b = blocks.shape[0]
+        y3d = y3d + _bucket_rmatmat(
+            bcols.reshape(-1), blocks, u_sorted[off:off + nbr_b],
+            bell.ncb, interpret=interpret, row_group=bell.row_group,
+            packed4=bell.packed4)
+        off += nbr_b
+    return y3d.transpose(0, 2, 1).reshape(-1, R)[:n].astype(U.dtype)
+
+
 def _row_quantize_csr(csr, qmax: int = 127):
     """Per-row symmetric integer quantization: ``A ~= diag(s) Q`` with
     ``s_i = max_j |A_ij| / qmax`` (1 for empty rows) and Q integer-valued in
@@ -374,6 +544,29 @@ class PallasBSROperator(LinearOperator):
             if self.adj_scale is not None:
                 y = self.adj_scale * y.astype(jnp.float32)
         return y.astype(out_dtype)
+
+    def matmat(self, X):
+        """Y (m, R) = A @ X (n, R): the multi-RHS SpMM kernel — ONE panel
+        read serves all R columns (serving-batch fast path; a vmapped
+        ``matvec`` would re-read the panel per RHS)."""
+        Y = bucketed_bsr_matmat(self.fwd, X, interpret=self.interpret)
+        if self.fwd_scale is not None:
+            Y = (self.fwd_scale[:, None] * Y.astype(jnp.float32)).astype(
+                Y.dtype)
+        return Y
+
+    def rmatmat(self, U):
+        """Y (n, R) = A^T @ U (m, R) through the multi-RHS kernels."""
+        out_dtype = U.dtype
+        if self.fwd_scale is not None:
+            U = self.fwd_scale[:, None] * U.astype(jnp.float32)
+        if self.adj is None:
+            Y = bucketed_bsr_rmatmat(self.fwd, U, interpret=self.interpret)
+        else:
+            Y = bucketed_bsr_matmat(self.adj, U, interpret=self.interpret)
+            if self.adj_scale is not None:
+                Y = self.adj_scale[:, None] * Y.astype(jnp.float32)
+        return Y.astype(out_dtype)
 
     def tree_flatten(self):
         return (self.fwd, self.adj, self.fwd_scale, self.adj_scale,

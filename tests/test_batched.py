@@ -1,0 +1,139 @@
+"""Batched (multi-RHS) solver + SpMM kernel oracles.
+
+Semantics per RHS must EQUAL the single-RHS solvers — batching shares the
+operator panel reads, it must not change a single number.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+import pytest
+
+from hybrid_gmres_tpu import (
+    ab_gmres,
+    ab_gmres_batched,
+    ba_gmres,
+    ba_gmres_batched,
+    generate_test_problem,
+)
+from hybrid_gmres_tpu.problems import add_noise, perturb_backprojector
+
+
+@pytest.fixture(scope="module")
+def prob():
+    A, b_exact, x_true = generate_test_problem("shaw", 24)
+    B, _ = perturb_backprojector(A, 1e-4, seed=0)
+    rng = np.random.default_rng(3)
+    R = 4
+    bs = []
+    for r in range(R):
+        b, _ = add_noise(b_exact, 1e-2, seed=r)
+        bs.append(np.asarray(b))
+    return A, B, jnp.asarray(np.stack(bs, axis=1)), x_true
+
+
+@pytest.mark.parametrize("lam", [None, 1e-3, "gcv"])
+def test_ba_batched_matches_single_rhs(prob, lam):
+    A, B, b_batch, x_true = prob
+    r = ba_gmres_batched(A, B, b_batch, x_true, tol=0.0, maxit=12, lam=lam)
+    assert r.x.shape == (24, 4) and r.err_hist.shape == (12, 4)
+    for j in range(b_batch.shape[1]):
+        rj = ba_gmres(A, B, b_batch[:, j], x_true, tol=0.0, maxit=12,
+                      lam=lam, residual="fused")
+        np.testing.assert_allclose(np.asarray(r.res_hist[:, j]),
+                                   np.asarray(rj.res_hist), rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(r.err_hist[:, j]),
+                                   np.asarray(rj.err_hist), rtol=1e-8)
+        xj = np.asarray(rj.x)
+        # non-hybrid runs amplify to ~1e4 scale; compare relative to ||x||
+        np.testing.assert_allclose(np.asarray(r.x[:, j]), xj, rtol=1e-6,
+                                   atol=1e-8 * np.linalg.norm(xj))
+        assert int(r.niters[j]) == int(rj.niters)
+
+
+def test_ab_batched_matches_single_rhs(prob):
+    A, B, b_batch, x_true = prob
+    r = ab_gmres_batched(A, B, b_batch, x_true, tol=0.0, maxit=10, lam=1e-3)
+    for j in range(b_batch.shape[1]):
+        rj = ab_gmres(A, B, b_batch[:, j], x_true, tol=0.0, maxit=10,
+                      lam=1e-3, residual="fused")
+        np.testing.assert_allclose(np.asarray(r.res_hist[:, j]),
+                                   np.asarray(rj.res_hist), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(r.x[:, j]),
+                                   np.asarray(rj.x), rtol=1e-7, atol=1e-12)
+
+
+def test_batched_per_rhs_early_exit(prob):
+    """tol stops each RHS independently (per-RHS active masks)."""
+    A, B, b_batch, x_true = prob
+    # different noise per column -> different stopping iterations
+    r = ba_gmres_batched(A, B, b_batch, x_true, tol=1e-2, maxit=24,
+                         lam=None)
+    niters = np.asarray(r.niters)
+    hist = np.asarray(r.res_hist)
+    for j in range(b_batch.shape[1]):
+        k = int(niters[j])
+        assert np.isfinite(hist[:k, j]).all()
+        assert np.isnan(hist[k:, j]).all()
+        rj = ba_gmres(A, B, b_batch[:, j], x_true, tol=1e-2, maxit=24,
+                      residual="fused")
+        assert k == int(rj.niters)
+
+
+def test_batched_rejects_single_vector(prob):
+    A, B, b_batch, x_true = prob
+    with pytest.raises(ValueError, match="shape"):
+        ba_gmres_batched(A, B, b_batch[:, 0], x_true, maxit=4)
+
+
+def test_pallas_matmat_matches_per_column_matvec():
+    """The SpMM kernels (interpret mode) reproduce per-column matvec
+    exactly for f32/int8/packed-int4 panels, forward and transposed."""
+    from hybrid_gmres_tpu.ops.spmv_pallas import PallasBSROperator
+
+    rng = np.random.default_rng(0)
+    A = sp.random(300, 260, density=0.05, format="csr",
+                  random_state=0).astype(np.float32)
+    A.data = rng.standard_normal(A.nnz).astype(np.float32)
+    X = rng.standard_normal((260, 8)).astype(np.float32)
+    U = rng.standard_normal((300, 8)).astype(np.float32)
+    for dt, with_adj in ((jnp.float32, False), ("int8", True),
+                         ("int4", False)):
+        dt_arg = jnp.int8 if dt == "int8" else dt
+        op = PallasBSROperator.from_csr(A, dtype=dt_arg, interpret=True,
+                                        with_adjoint=with_adj)
+        Y = np.asarray(op.matmat(jnp.asarray(X)))
+        Z = np.asarray(op.rmatmat(jnp.asarray(U)))
+        Yr = np.stack([np.asarray(op.matvec(jnp.asarray(X[:, j])))
+                       for j in range(8)], 1)
+        Zr = np.stack([np.asarray(op.rmatvec(jnp.asarray(U[:, j])))
+                       for j in range(8)], 1)
+        np.testing.assert_allclose(Y, Yr, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(Z, Zr, rtol=1e-6, atol=1e-6)
+
+
+def test_batched_with_pallas_operator():
+    """End-to-end batched solve on the Pallas SpMM path (interpret) ==
+    single-RHS Pallas runs."""
+    from hybrid_gmres_tpu.ops.spmv_pallas import PallasBSROperator
+
+    rng = np.random.default_rng(5)
+    m, n = 96, 64
+    Ad = (rng.standard_normal((m, n)) * (rng.random((m, n)) < 0.3)
+          ).astype(np.float32)
+    Bd = (Ad.T + 1e-3 * rng.standard_normal((n, m))).astype(np.float32)
+    A_op = PallasBSROperator.from_csr(sp.csr_matrix(Ad), interpret=True)
+    B_op = PallasBSROperator.from_csr(sp.csr_matrix(Bd), interpret=True)
+    x_true = rng.standard_normal(n).astype(np.float32)
+    b1 = (Ad @ x_true + 0.01 * rng.standard_normal(m)).astype(np.float32)
+    b2 = (Ad @ x_true + 0.02 * rng.standard_normal(m)).astype(np.float32)
+    b_batch = jnp.asarray(np.stack([b1, b2], 1))
+    r = ba_gmres_batched(A_op, B_op, b_batch, jnp.asarray(x_true), tol=0.0,
+                         maxit=8, lam=1e-3)
+    for j, bj in enumerate((b1, b2)):
+        rj = ba_gmres(A_op, B_op, jnp.asarray(bj), jnp.asarray(x_true),
+                      tol=0.0, maxit=8, lam=1e-3, residual="fused")
+        np.testing.assert_allclose(np.asarray(r.res_hist[:, j]),
+                                   np.asarray(rj.res_hist), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(r.err_hist[:, j]),
+                                   np.asarray(rj.err_hist), rtol=1e-4)
