@@ -193,3 +193,22 @@ def test_int4_packed_kernel_on_chip():
     lhs = float(jnp.vdot(op.matvec(jnp.asarray(x)), jnp.asarray(u)))
     rhs = float(jnp.vdot(jnp.asarray(x), op.rmatvec(jnp.asarray(u))))
     assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-4
+
+
+def test_matmat_kernels_on_chip(ops):
+    """Multi-RHS SpMM kernels under real Mosaic: per-column parity with the
+    single-RHS kernels for f32 and int8 panels (the serving-batch path)."""
+    A, d = ops
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((A.shape[1], 8)).astype(np.float32)
+    U = rng.standard_normal((A.shape[0], 8)).astype(np.float32)
+    for name in ("float32", "int8"):
+        op = d[name]
+        Y = np.asarray(jax.block_until_ready(op.matmat(jnp.asarray(X))))
+        Yr = np.stack([np.asarray(op.matvec(jnp.asarray(X[:, j])))
+                       for j in range(8)], 1)
+        np.testing.assert_allclose(Y, Yr, rtol=1e-5, atol=1e-5)
+        Z = np.asarray(op.rmatmat(jnp.asarray(U)))
+        Zr = np.stack([np.asarray(op.rmatvec(jnp.asarray(U[:, j])))
+                       for j in range(8)], 1)
+        np.testing.assert_allclose(Z, Zr, rtol=1e-5, atol=1e-5)
