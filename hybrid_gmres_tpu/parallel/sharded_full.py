@@ -100,9 +100,10 @@ def ba_gmres_sharded_basis(
         beta = pnorm(r0_loc)
         t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
 
+        beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
+        active0 = beta > 0
         Q0 = jnp.zeros((nloc, maxit + 1), dtype=dtype).at[:, 0].set(
-            r0_loc / beta
-        )
+            jnp.where(beta > 0, r0_loc / beta_safe, jnp.zeros_like(r0_loc)))
         H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
         x0 = jnp.zeros((nloc,), dtype=dtype)
 
@@ -165,7 +166,7 @@ def ba_gmres_sharded_basis(
 
         (Q, H, x, _, niters, _), (res_hist, err_hist) = jax.lax.scan(
             body,
-            (Q0, H0, x0, jnp.bool_(True), jnp.int32(0), IMG0),
+            (Q0, H0, x0, active0, jnp.int32(0), IMG0),
             jnp.arange(maxit, dtype=jnp.int32),
         )
         return x, err_hist, res_hist, niters, Q, H, beta
@@ -242,9 +243,10 @@ def ab_gmres_sharded_basis(
         beta = pnorm(b_loc)
         t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
         mloc = b_loc.shape[0]
+        beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
+        active0 = beta > 0
         Q0 = jnp.zeros((mloc, maxit + 1), dtype=dtype).at[:, 0].set(
-            b_loc / beta
-        )
+            jnp.where(beta > 0, b_loc / beta_safe, jnp.zeros_like(b_loc)))
         H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
         x0 = jnp.zeros((n,), dtype=dtype)
 
@@ -310,7 +312,7 @@ def ab_gmres_sharded_basis(
 
         (Q, H, x, _, niters, _, _), (res_hist, err_hist) = jax.lax.scan(
             body,
-            (Q0, H0, x0, jnp.bool_(True), jnp.int32(0), S0, W0),
+            (Q0, H0, x0, active0, jnp.int32(0), S0, W0),
             jnp.arange(maxit, dtype=jnp.int32),
         )
         return x, err_hist, res_hist, niters, Q, H, beta

@@ -117,9 +117,16 @@ def ba_gmres_sharded_pallas(
         if resume_from.IMG is None:
             raise ValueError("resume_from must come from "
                              "ba_gmres_sharded_pallas (missing .IMG)")
-        k0 = resume_from.res_hist.shape[0]
+        # Mirror gmres_core: continue from the last ADOPTED iteration, not
+        # the old maxit — resuming a tol-stopped/broken-down run must not
+        # scan over zero Krylov columns (self-review r3).
+        k0 = int(resume_from.niters)
         if k0 >= maxit:
             raise ValueError(f"resume needs maxit > {k0}")
+        # exhausted-budget runs resume active; stopped runs (tol/breakdown)
+        # resume inactive — matches the uninterrupted run exactly (see
+        # gmres_core)
+        resumed_active = k0 == resume_from.res_hist.shape[0]
         from hybrid_gmres_tpu.utils.checkpoint import pad_state
 
         rs = pad_state(resume_from, maxit)
@@ -155,15 +162,22 @@ def ba_gmres_sharded_pallas(
         rhs_loc = b_loc - A_mv(x0_loc) if have_x0 else b_loc
         if carry_in:
             Q0, H0, xc0, niters0, IMG0, beta = carry_in
+            active0 = jnp.bool_(resumed_active)
         else:
             r0_loc = B_mv_scatter(rhs_loc)
             beta = pnorm(r0_loc)
+            # beta == 0 (already-converged warm start / zero RHS) must not
+            # divide: normalize safely and start inactive, exactly as the
+            # single-chip gmres_core does
+            beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
             Q0 = jnp.zeros((nloc, maxit + 1), dtype=dtype).at[:, 0].set(
-                r0_loc / beta)
+                jnp.where(beta > 0, r0_loc / beta_safe,
+                          jnp.zeros_like(r0_loc)))
             H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
             xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
             niters0 = jnp.int32(0)
             IMG0 = jnp.zeros((mloc, maxit), dtype=dtype)
+            active0 = beta > 0
         t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
 
         # None -> LS; scalar -> Tikhonov; "gcv" -> per-iteration
@@ -213,7 +227,7 @@ def ba_gmres_sharded_pallas(
 
         (Q, H, x, _, niters, IMG), (res_hist, err_hist) = jax.lax.scan(
             body,
-            (Q0, H0, xc0, jnp.bool_(True), niters0, IMG0),
+            (Q0, H0, xc0, active0, niters0, IMG0),
             jnp.arange(k0, maxit, dtype=jnp.int32),
         )
         return x, err_hist, res_hist, niters, Q, H, beta, IMG
@@ -311,8 +325,10 @@ def ab_gmres_sharded_pallas(
         rhs_loc = b_loc - A_mv(x0_loc) if have_x0 else b_loc
         beta = pnorm(rhs_loc)
         t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
+        beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
+        active0 = beta > 0
         Q0 = jnp.zeros((mloc, maxit + 1), dtype=dtype).at[:, 0].set(
-            rhs_loc / beta)
+            jnp.where(beta > 0, rhs_loc / beta_safe, jnp.zeros_like(rhs_loc)))
         H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
         xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
         S0 = jnp.zeros((nloc, maxit), dtype=dtype)
@@ -363,7 +379,7 @@ def ab_gmres_sharded_pallas(
 
         (Q, H, x, _, niters, _, _), (res_hist, err_hist) = jax.lax.scan(
             body,
-            (Q0, H0, xc0, jnp.bool_(True), jnp.int32(0), S0, W0),
+            (Q0, H0, xc0, active0, jnp.int32(0), S0, W0),
             jnp.arange(maxit, dtype=jnp.int32),
         )
         return x, err_hist, res_hist, niters, Q, H, beta
@@ -382,40 +398,6 @@ def ab_gmres_sharded_pallas(
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
 
 
-def _restarted_sharded(inner, A_panels, BT_panels, b, x_true, tol, restart,
-                       max_restarts, lam, mesh, axis, interpret,
-                       gcv_grid) -> GMRESResult:
-    """Outer restart loop over sharded cycles, chaining the warm start
-    ``x0`` — the distributed twin of ``solvers/gmres._restarted``
-    (MATLAB ``gmres(M, b, restart, ...)`` surface, run_2D_phantom.m:121)."""
-    import numpy as np
-
-    x0 = None
-    res_hists, err_hists = [], []
-    total_iters = 0
-    last = None
-    for _ in range(int(max_restarts)):
-        r = inner(A_panels, BT_panels, b, x_true, tol=tol,
-                  maxit=int(restart), lam=lam, gcv_grid=gcv_grid, mesh=mesh,
-                  axis=axis, interpret=interpret, x0=x0)
-        k = int(r.niters)
-        res_hists.append(np.asarray(r.res_hist)[:k])
-        err_hists.append(np.asarray(r.err_hist)[:k])
-        total_iters += k
-        x0 = r.x
-        last = r
-        if k == 0:
-            break  # breakdown or zero residual: no progress possible
-        last_res = float(np.asarray(r.res_hist)[k - 1])
-        if np.isnan(last_res) or last_res <= tol:
-            break
-    res_hist = jnp.asarray(np.concatenate(res_hists))
-    err_hist = jnp.asarray(np.concatenate(err_hists))
-    return GMRESResult(x=last.x, err_hist=err_hist, res_hist=res_hist,
-                       niters=jnp.int32(total_iters), Q=last.Q, H=last.H,
-                       beta=last.beta)
-
-
 def ba_gmres_sharded_pallas_restarted(
     A_panels, BT_panels, b, x_true=None, tol: float = 1e-6,
     restart: int = 20, max_restarts: int = 10, lam=None, gcv_grid=None,
@@ -423,10 +405,16 @@ def ba_gmres_sharded_pallas_restarted(
 ) -> GMRESResult:
     """Restarted sharded BA-GMRES(restart): memory-bounded Krylov cycles at
     scale; each cycle warm-starts from the previous sharded solution with no
-    resharding (``x0`` stays n-sharded on device)."""
-    return _restarted_sharded(ba_gmres_sharded_pallas, A_panels, BT_panels,
-                              b, x_true, tol, restart, max_restarts, lam,
-                              mesh, axis, interpret, gcv_grid)
+    resharding (``x0`` stays n-sharded on device).  The outer loop is the
+    SAME ``solvers/gmres._restarted`` the single-chip wrappers use."""
+    from hybrid_gmres_tpu.solvers.gmres import _restarted
+
+    return _restarted(
+        lambda x0: ba_gmres_sharded_pallas(
+            A_panels, BT_panels, b, x_true, tol=tol, maxit=int(restart),
+            lam=lam, gcv_grid=gcv_grid, mesh=mesh, axis=axis,
+            interpret=interpret, x0=x0),
+        max_restarts, tol)
 
 
 def ab_gmres_sharded_pallas_restarted(
@@ -435,6 +423,11 @@ def ab_gmres_sharded_pallas_restarted(
     mesh: Mesh | None = None, axis: str = "rows", interpret: bool = False,
 ) -> GMRESResult:
     """Restarted sharded AB-GMRES(restart) (see the BA twin)."""
-    return _restarted_sharded(ab_gmres_sharded_pallas, A_panels, BT_panels,
-                              b, x_true, tol, restart, max_restarts, lam,
-                              mesh, axis, interpret, gcv_grid)
+    from hybrid_gmres_tpu.solvers.gmres import _restarted
+
+    return _restarted(
+        lambda x0: ab_gmres_sharded_pallas(
+            A_panels, BT_panels, b, x_true, tol=tol, maxit=int(restart),
+            lam=lam, gcv_grid=gcv_grid, mesh=mesh, axis=axis,
+            interpret=interpret, x0=x0),
+        max_restarts, tol)

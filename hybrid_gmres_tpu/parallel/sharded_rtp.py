@@ -84,8 +84,10 @@ def _rtp_core(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam, mesh,
         beta = pnorm(r0_loc)
         t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
 
+        beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
+        active0 = beta > 0
         Q0 = jnp.zeros((nloc, maxit + 1), dtype=dtype).at[:, 0].set(
-            r0_loc / beta)
+            jnp.where(beta > 0, r0_loc / beta_safe, jnp.zeros_like(r0_loc)))
         H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
         x0 = jnp.zeros((nloc,), dtype=dtype)
         IMG0 = jnp.zeros((mloc, maxit), dtype=dtype)
@@ -156,7 +158,7 @@ def _rtp_core(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam, mesh,
 
         (Q, H, x, _, niters, _, _, _), (res_hist, err_hist) = jax.lax.scan(
             body,
-            (Q0, H0, x0, jnp.bool_(True), jnp.int32(0), IMG0, G0, g0),
+            (Q0, H0, x0, active0, jnp.int32(0), IMG0, G0, g0),
             jnp.arange(maxit, dtype=jnp.int32),
         )
         return x, err_hist, res_hist, niters, Q, H, beta

@@ -257,7 +257,14 @@ def gmres_core(
         active = active & ~stop
         return (Qn, Hn, x, active, niters, IMG, S), (res_rec, err_rec)
 
-    start_active = jnp.bool_(True) if resume_from is not None else (beta > 0)
+    if resume_from is not None:
+        # A run that exhausted its budget resumes active; one that STOPPED
+        # (tol hit or breakdown: niters < its maxit) resumes inactive, so
+        # resume(run(k), K) == run(K) exactly even across a stop (the
+        # uninterrupted run records nothing after its stopping iteration).
+        start_active = jnp.bool_(k0 == resume_from.res_hist.shape[0])
+    else:
+        start_active = beta > 0
     (Q, H, x, _, niters, IMG_f, S_f), (res_hist, err_hist) = jax.lax.scan(
         body,
         (Q0, H0, x0, start_active, jnp.int32(k0), IMG0, S0),

@@ -205,10 +205,11 @@ def ba_gmres(
     )
 
 
-def _restarted(inner, A, B, b, x_true, tol, restart, max_restarts, lam,
-               residual) -> GMRESResult:
-    """Outer restart loop shared by AB/BA: chain ``x0``, concatenate
-    histories so the combined result reads like one long run."""
+def _restarted(run_cycle, max_restarts, tol) -> GMRESResult:
+    """Outer restart loop shared by the single-chip AND sharded restarted
+    wrappers: chain ``x0``, concatenate histories so the combined result
+    reads like one long run.  ``run_cycle(x0)`` executes one warm-started
+    cycle (all other solver arguments pre-bound by the caller)."""
     import numpy as np
 
     x0 = None
@@ -216,8 +217,7 @@ def _restarted(inner, A, B, b, x_true, tol, restart, max_restarts, lam,
     total_iters = 0
     last = None
     for _ in range(int(max_restarts)):
-        r = inner(A, B, b, x_true, tol=tol, maxit=int(restart), lam=lam,
-                  x0=x0, residual=residual)
+        r = run_cycle(x0)
         k = int(r.niters)
         res_hists.append(np.asarray(r.res_hist)[:k])
         err_hists.append(np.asarray(r.err_hist)[:k])
@@ -257,8 +257,10 @@ def ba_gmres_restarted(
     surface (the reference's phantom driver calls the builtin with
     restart=[] i.e. none, run_2D_phantom.m:121; the restarted form is the
     memory-bounded variant for large problems)."""
-    return _restarted(ba_gmres, A, B, b, x_true, tol, restart, max_restarts,
-                      lam, residual)
+    return _restarted(
+        lambda x0: ba_gmres(A, B, b, x_true, tol=tol, maxit=int(restart),
+                            lam=lam, x0=x0, residual=residual),
+        max_restarts, tol)
 
 
 def ab_gmres_restarted(
@@ -274,5 +276,7 @@ def ab_gmres_restarted(
 ) -> GMRESResult:
     """Restarted AB-GMRES(restart): Krylov in m-space, warm-started via
     ``r0 = b - A x0``, ``x = x0 + B Q_k y`` per cycle."""
-    return _restarted(ab_gmres, A, B, b, x_true, tol, restart, max_restarts,
-                      lam, residual)
+    return _restarted(
+        lambda x0: ab_gmres(A, B, b, x_true, tol=tol, maxit=int(restart),
+                            lam=lam, x0=x0, residual=residual),
+        max_restarts, tol)

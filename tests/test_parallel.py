@@ -1038,3 +1038,62 @@ def test_ba_sharded_pallas_resume_equals_uninterrupted():
     np.testing.assert_allclose(np.asarray(r_res.x), np.asarray(r_full.x),
                                rtol=1e-3, atol=1e-6)
     assert int(r_res.niters) == int(r_full.niters)
+
+
+def test_ba_sharded_pallas_resume_after_tol_stop():
+    """Resuming a run that CONVERGED early must not scan over zero Krylov
+    columns (self-review r3: k0 comes from niters, not the old history
+    length) — the continuation equals an uninterrupted larger-budget run."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_pallas, shard_bucketed_panels)
+
+    rng = np.random.default_rng(33)
+    # well-conditioned: converges to tol quickly
+    Ad = (np.eye(64, 32) * 3.0 + 0.05 * rng.standard_normal((64, 32))
+          ).astype(np.float32)
+    Bd = Ad.T.copy()
+    x_true = rng.standard_normal(32).astype(np.float32)
+    b = (Ad @ x_true).astype(np.float32)
+    mesh = make_mesh()
+    A_panels = shard_bucketed_panels(sp.csr_matrix(Ad), 8)
+    BT_panels = shard_bucketed_panels(sp.csr_matrix(Bd.T), 8)
+    kw = dict(mesh=mesh, interpret=True)
+    r_half = ba_gmres_sharded_pallas(A_panels, BT_panels, jnp.asarray(b),
+                                     jnp.asarray(x_true), tol=1e-3,
+                                     maxit=10, **kw)
+    assert int(r_half.niters) < 10  # must actually stop early
+    r_res = ba_gmres_sharded_pallas(A_panels, BT_panels, jnp.asarray(b),
+                                    jnp.asarray(x_true), tol=1e-3, maxit=14,
+                                    resume_from=r_half, **kw)
+    r_full = ba_gmres_sharded_pallas(A_panels, BT_panels, jnp.asarray(b),
+                                     jnp.asarray(x_true), tol=1e-3,
+                                     maxit=14, **kw)
+    assert np.isfinite(np.asarray(r_res.x)).all()
+    assert int(r_res.niters) == int(r_full.niters)
+    np.testing.assert_allclose(np.asarray(r_res.x), np.asarray(r_full.x),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_restarted_zero_rhs():
+    """b = 0 must return x = 0 with niters = 0 (self-review r3: the
+    unguarded r0/beta division produced NaN), matching single-chip."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.solvers.gmres import ba_gmres_restarted
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_pallas_restarted, shard_bucketed_panels)
+
+    Ad, Bd, _, x_true = _sparse_pair(64, 32, seed=34)
+    mesh = make_mesh()
+    A_panels = shard_bucketed_panels(sp.csr_matrix(Ad), 8)
+    BT_panels = shard_bucketed_panels(sp.csr_matrix(Bd.T), 8)
+    z = jnp.zeros(64, jnp.float32)
+    r_sh = ba_gmres_sharded_pallas_restarted(
+        A_panels, BT_panels, z, jnp.asarray(x_true), tol=1e-6, restart=4,
+        max_restarts=3, mesh=mesh, interpret=True)
+    r_ref = ba_gmres_restarted(jnp.asarray(Ad), jnp.asarray(Bd), z,
+                               jnp.asarray(x_true), tol=1e-6, restart=4,
+                               max_restarts=3)
+    assert int(r_sh.niters) == int(r_ref.niters) == 0
+    np.testing.assert_array_equal(np.asarray(r_sh.x), 0.0)
+    assert np.isfinite(np.asarray(r_sh.x)).all()
