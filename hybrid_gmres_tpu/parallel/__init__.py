@@ -25,6 +25,12 @@ from hybrid_gmres_tpu.parallel.sharded_rtp import (
     ab_gmres_rtp_sharded,
     ba_gmres_rtp_sharded,
 )
+from hybrid_gmres_tpu.parallel.sharded_gkb2d import (
+    hybrid_lsmr_sharded_2d,
+    hybrid_lsqr_sharded_2d,
+    lsmr_sharded_2d,
+    lsqr_sharded_2d,
+)
 from hybrid_gmres_tpu.parallel.sharded_gkb import (
     hybrid_lsmr_sharded,
     hybrid_lsqr_sharded,
@@ -74,5 +80,9 @@ __all__ = [
     "hybrid_lsqr_sharded",
     "lsmr_sharded",
     "hybrid_lsmr_sharded",
+    "lsqr_sharded_2d",
+    "hybrid_lsqr_sharded_2d",
+    "lsmr_sharded_2d",
+    "hybrid_lsmr_sharded_2d",
     "initialize_multihost",
 ]

@@ -235,6 +235,38 @@ def tile_rmatvec(tp: TiledPanels, u_loc, interpret: bool = False):
     return y2d.reshape(-1)[:nloc]
 
 
+def tiled_local_ops(tp: TiledPanels, axes, dtype, interpret: bool = False):
+    """(matvec, rmatvec, fro_sq_local) for the shard-local tile of a
+    :class:`TiledPanels` under a 2-D mesh — the exact-adjoint pair the GKB
+    family needs, served by the SAME tiles through the forward and
+    transposed kernels.
+
+    matvec: col-sharded v (n/pc,) -> row-sharded u (m/pr,), one psum over
+    the col axis; rmatvec: row-sharded u -> col-sharded v, one psum over
+    the row axis.  Quantized tiles apply the global row scales outside the
+    kernels (``A = diag(s) Q``), keeping ``<A v, u> == <v, A^T u>`` exact.
+    """
+    ar, ac = axes
+
+    def matvec(v_loc):
+        part = tile_matvec(tp, v_loc, interpret=interpret)
+        y = jax.lax.psum(part, ac)
+        if tp.row_scale is not None:
+            y = tp.row_scale[0] * y
+        return y.astype(dtype)
+
+    def rmatvec(u_loc):
+        u = u_loc
+        if tp.row_scale is not None:
+            u = tp.row_scale[0] * u.astype(jnp.float32)
+        part = tile_rmatvec(tp, u, interpret=interpret)
+        return jax.lax.psum(part, ar).astype(dtype)
+
+    # per-TILE mass; the caller psums over BOTH axes for ||A||_F^2
+    fro_sq = tp.fro_sq.reshape(-1)[0].astype(dtype)
+    return matvec, rmatvec, fro_sq
+
+
 def comms_bytes_per_iteration_2d(A_tiles: TiledPanels,
                                  itemsize: int = 4,
                                  kdim: int = 0) -> dict:

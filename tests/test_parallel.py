@@ -1097,3 +1097,65 @@ def test_sharded_restarted_zero_rhs():
     assert int(r_sh.niters) == int(r_ref.niters) == 0
     np.testing.assert_array_equal(np.asarray(r_sh.x), 0.0)
     assert np.isfinite(np.asarray(r_sh.x)).all()
+
+
+# ---------------------------------------------------------------------------
+# 2-D tiled GKB family
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("grid", [(4, 2), (2, 4)])
+def test_gkb_2d_matches_single_device(grid):
+    """All four GKB solvers over the 2-D tiled mesh == their single-device
+    twins (exact adjoint pair from the same tiles; completes the solver x
+    layout feature matrix)."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.solvers.lsqr import hybrid_lsqr, lsqr
+    from hybrid_gmres_tpu.solvers.lsmr import hybrid_lsmr, lsmr
+    from hybrid_gmres_tpu.parallel import (
+        hybrid_lsmr_sharded_2d, hybrid_lsqr_sharded_2d, lsmr_sharded_2d,
+        lsqr_sharded_2d, make_mesh_2d, tile_bucketed_panels)
+
+    pr, pc = grid
+    Ad, _, b, x_true = _sparse_pair(64, 32, seed=41)
+    mesh = make_mesh_2d((pr, pc))
+    tiles = tile_bucketed_panels(sp.csr_matrix(Ad), pr, pc)
+    Aj = jnp.asarray(Ad)
+    kw2 = dict(mesh=mesh, interpret=True)
+
+    r = lsqr_sharded_2d(tiles, jnp.asarray(b), jnp.asarray(x_true),
+                        tol=0.0, maxit=10, **kw2)
+    rr = lsqr(Aj, jnp.asarray(b), jnp.asarray(x_true), tol=0.0, maxit=10)
+    np.testing.assert_allclose(np.asarray(r.res_hist),
+                               np.asarray(rr.res_hist, np.float32),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r.x),
+                               np.asarray(rr.x, np.float32), rtol=1e-2,
+                               atol=1e-4)
+
+    r = hybrid_lsqr_sharded_2d(tiles, jnp.asarray(b), jnp.asarray(x_true),
+                               tol=0.0, maxit=10, lam=1e-2, **kw2)
+    rr = hybrid_lsqr(Aj, jnp.asarray(b), jnp.asarray(x_true), tol=0.0,
+                     maxit=10, lam=1e-2)
+    np.testing.assert_allclose(np.asarray(r.res_hist),
+                               np.asarray(rr.res_hist, np.float32),
+                               rtol=2e-3, atol=1e-5)
+
+    r = lsmr_sharded_2d(tiles, jnp.asarray(b), jnp.asarray(x_true),
+                        tol=0.0, maxit=10, **kw2)
+    rr = lsmr(Aj, jnp.asarray(b), jnp.asarray(x_true), tol=0.0, maxit=10)
+    np.testing.assert_allclose(np.asarray(r.res_hist),
+                               np.asarray(rr.res_hist, np.float32),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r.ar_hist),
+                               np.asarray(rr.ar_hist, np.float32),
+                               rtol=5e-3, atol=1e-5)
+
+    for lam in (1e-2, "gcv"):
+        r = hybrid_lsmr_sharded_2d(tiles, jnp.asarray(b),
+                                   jnp.asarray(x_true), tol=0.0, maxit=10,
+                                   lam=lam, **kw2)
+        rr = hybrid_lsmr(Aj, jnp.asarray(b), jnp.asarray(x_true), tol=0.0,
+                         maxit=10, lam=lam)
+        np.testing.assert_allclose(np.asarray(r.err_hist),
+                                   np.asarray(rr.err_hist, np.float32),
+                                   rtol=2e-3, atol=1e-5)
