@@ -1159,3 +1159,45 @@ def test_gkb_2d_matches_single_device(grid):
         np.testing.assert_allclose(np.asarray(r.err_hist),
                                    np.asarray(rr.err_hist, np.float32),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_sharded_pallas_hlo_collective_schedule():
+    """Compiler-level comms oracle: the OPTIMIZED HLO of the windowed
+    sharded solver must contain exactly the designed collectives — the
+    ppermute hops of the static window (L shifts minus the local d=0 one),
+    NO all_gather, and one reduce_scatter per B product (loop body + the
+    r0 setup).  Turns the DESIGN §7 analytic table into a fact the
+    compiler certifies."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_pallas, shard_bucketed_panels)
+
+    rng = np.random.default_rng(3)
+    n = 128 * 8
+    diags = [rng.standard_normal(n - abs(o))
+             for o in (-130, -40, 0, 40, 130)]
+    Ad = sp.diags(diags, offsets=(-130, -40, 0, 40, 130)).tocsr().astype(
+        np.float32)
+    mesh = make_mesh()
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    def compiled_hlo(window):
+        A_p = shard_bucketed_panels(Ad, 8, window=window)
+        BT_p = shard_bucketed_panels(Ad.T.tocsr(), 8, window=window)
+        f = jax.jit(lambda Ap, BTp, bb: ba_gmres_sharded_pallas(
+            Ap, BTp, bb, None, tol=0.0, maxit=6, lam=1e-3, mesh=mesh,
+            interpret=True).x)
+        return A_p, f.lower(A_p, BT_p, b).compile().as_text()
+
+    A_p, hlo = compiled_hlo(window=True)
+    dmin, L = A_p.shifts
+    assert A_p.windowed and L < 8
+    n_hops = L - (1 if dmin <= 0 <= dmin + L - 1 else 0)
+    assert hlo.count("all-gather") == 0, "windowed path must not all_gather"
+    assert hlo.count("collective-permute") == n_hops, (
+        hlo.count("collective-permute"), n_hops)
+    assert hlo.count("reduce-scatter") == 2  # B product: loop body + r0
+
+    _, hlo_full = compiled_hlo(window=False)
+    assert hlo_full.count("collective-permute") == 0
+    assert hlo_full.count("all-gather") > 0
