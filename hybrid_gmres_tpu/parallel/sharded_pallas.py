@@ -271,11 +271,15 @@ def ab_gmres_sharded_pallas(
     axis: str = "rows",
     interpret: bool = False,
     x0=None,
+    resume_from: GMRESResult | None = None,
 ) -> GMRESResult:
     """Fully-sharded (hybrid) AB-GMRES: m-space Krylov basis sharded over
     rays, Pallas local SpMV (mirror of ``ABgmres_nonhybrid_bounds.m:24-37``
     at scale).  ``x0``: optional warm start (``r0 = b - A x0``,
-    ``x = x0 + S y`` — the restart building block).
+    ``x = x0 + S y`` — the restart building block).  ``resume_from``: a
+    prior result of this solver (the m-sharded W images live in ``.IMG``,
+    the n-sharded solution images in ``.S``); same semantics as the BA
+    twin's resume.
 
     The image intermediates ``s_k = B q_k`` stay n-SHARDED (reduce_scatter,
     never replicated) and the raw images ``w_k = A s_k`` m-sharded, so the
@@ -297,8 +301,21 @@ def ab_gmres_sharded_pallas(
     have_x0 = x0 is not None
     if not have_x0:
         x0 = jnp.zeros((n,), dtype=dtype)
+    if resume_from is None:
+        k0 = 0
+    else:
+        if resume_from.IMG is None or resume_from.S is None:
+            raise ValueError("resume_from must come from "
+                             "ab_gmres_sharded_pallas (missing .IMG/.S)")
+        k0 = int(resume_from.niters)
+        if k0 >= maxit:
+            raise ValueError(f"resume needs maxit > {k0}")
+        resumed_active = k0 == resume_from.res_hist.shape[0]
+        from hybrid_gmres_tpu.utils.checkpoint import pad_state
 
-    def solver(A_loc, BT_loc, b_loc, xt_loc, x0_loc):
+        rs = pad_state(resume_from, maxit)
+
+    def solver(A_loc, BT_loc, b_loc, xt_loc, x0_loc, *carry_in):
         nloc = n // p
         mloc = m // p
 
@@ -323,16 +340,22 @@ def ab_gmres_sharded_pallas(
         xt_norm = pnorm(xt_loc)
 
         rhs_loc = b_loc - A_mv(x0_loc) if have_x0 else b_loc
-        beta = pnorm(rhs_loc)
+        if carry_in:
+            Q0, H0, xc0, niters0, W0, S0, beta = carry_in
+            active0 = jnp.bool_(resumed_active)
+        else:
+            beta = pnorm(rhs_loc)
+            beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
+            active0 = beta > 0
+            Q0 = jnp.zeros((mloc, maxit + 1), dtype=dtype).at[:, 0].set(
+                jnp.where(beta > 0, rhs_loc / beta_safe,
+                          jnp.zeros_like(rhs_loc)))
+            H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
+            xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
+            niters0 = jnp.int32(0)
+            S0 = jnp.zeros((nloc, maxit), dtype=dtype)
+            W0 = jnp.zeros((mloc, maxit), dtype=dtype)
         t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
-        beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
-        active0 = beta > 0
-        Q0 = jnp.zeros((mloc, maxit + 1), dtype=dtype).at[:, 0].set(
-            jnp.where(beta > 0, rhs_loc / beta_safe, jnp.zeros_like(rhs_loc)))
-        H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
-        xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
-        S0 = jnp.zeros((nloc, maxit), dtype=dtype)
-        W0 = jnp.zeros((mloc, maxit), dtype=dtype)
 
         # trace_dim = m for AB (gcv_function.m:46-50); see BA note above
         _ps = _make_project_solve(lam, m, gcv_grid)
@@ -377,25 +400,39 @@ def ab_gmres_sharded_pallas(
             active = active & ~stop
             return (Qn, Hn, x, active, niters, S, W), (res_rec, err_rec)
 
-        (Q, H, x, _, niters, _, _), (res_hist, err_hist) = jax.lax.scan(
+        (Q, H, x, _, niters, S, W), (res_hist, err_hist) = jax.lax.scan(
             body,
-            (Q0, H0, xc0, active0, jnp.int32(0), S0, W0),
-            jnp.arange(maxit, dtype=jnp.int32),
+            (Q0, H0, xc0, active0, niters0, S0, W0),
+            jnp.arange(k0, maxit, dtype=jnp.int32),
         )
-        return x, err_hist, res_hist, niters, Q, H, beta
+        return x, err_hist, res_hist, niters, Q, H, beta, W, S
 
+    base_specs = (P(axis), P(axis), P(axis), P(axis), P(axis))
+    carry_specs = (P(axis, None), P(), P(axis), P(), P(axis, None),
+                   P(axis, None), P())
+    args = (A_panels, BT_panels, b, x_true, x0)
+    in_specs = base_specs
+    if resume_from is not None:
+        in_specs = base_specs + carry_specs
+        args = args + (rs.Q, rs.H, rs.x, rs.niters, rs.IMG, rs.S, rs.beta)
     f = jax.shard_map(
         solver,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(), P(), P(), P(axis, None), P(), P()),
+        in_specs=in_specs,
+        out_specs=(P(axis), P(), P(), P(), P(axis, None), P(), P(),
+                   P(axis, None), P(axis, None)),
         check_vma=False,
     )
-    x, err_hist, res_hist, niters, Q, H, beta = f(
-        A_panels, BT_panels, b, x_true, x0)
+    x, err_new, res_new, niters, Q, H, beta, W, S = f(*args)
+    if resume_from is None:
+        res_hist, err_hist = res_new, err_new
+    else:
+        res_hist = jnp.concatenate([rs.res_hist[:k0], res_new])
+        err_hist = jnp.concatenate([rs.err_hist[:k0], err_new])
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
-    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=W,
+                       S=S)
 
 
 def ba_gmres_sharded_pallas_restarted(

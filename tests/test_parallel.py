@@ -1201,3 +1201,32 @@ def test_sharded_pallas_hlo_collective_schedule():
     _, hlo_full = compiled_hlo(window=False)
     assert hlo_full.count("collective-permute") == 0
     assert hlo_full.count("all-gather") > 0
+
+
+def test_ab_sharded_pallas_resume_equals_uninterrupted():
+    """AB sharded resume: both image bases (W for the residual, S for the
+    solution) continue across the checkpoint."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ab_gmres_sharded_pallas, shard_bucketed_panels)
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 32, seed=43)
+    mesh = make_mesh()
+    A_panels = shard_bucketed_panels(sp.csr_matrix(Ad), 8)
+    BT_panels = shard_bucketed_panels(sp.csr_matrix(Bd.T), 8)
+    kw = dict(tol=0.0, lam=1e-3, mesh=mesh, interpret=True)
+    r_full = ab_gmres_sharded_pallas(A_panels, BT_panels, jnp.asarray(b),
+                                     jnp.asarray(x_true), maxit=12, **kw)
+    r_half = ab_gmres_sharded_pallas(A_panels, BT_panels, jnp.asarray(b),
+                                     jnp.asarray(x_true), maxit=6, **kw)
+    assert r_half.IMG is not None and r_half.S is not None
+    r_res = ab_gmres_sharded_pallas(A_panels, BT_panels, jnp.asarray(b),
+                                    jnp.asarray(x_true), maxit=12,
+                                    resume_from=r_half, **kw)
+    np.testing.assert_allclose(np.asarray(r_res.res_hist),
+                               np.asarray(r_full.res_hist), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(r_res.err_hist),
+                               np.asarray(r_full.err_hist), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(r_res.x), np.asarray(r_full.x),
+                               rtol=1e-3, atol=1e-6)
+    assert int(r_res.niters) == int(r_full.niters)
