@@ -126,12 +126,12 @@ def main():
     print(f"[bench] compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
     times = []
-    for _ in range(5):
+    for _ in range(10):
         t0 = time.time()
         r = _solve(A_op, B_op, b, x_true)
         jax.block_until_ready(r.x)
         times.append(time.time() - t0)
-    dt = min(times)
+    dt = min(times)  # each run ~40 ms; min-of-10 tightens tunnel jitter
     iters_per_sec = maxit / dt
     err = float(r.err_hist[int(r.niters) - 1])
     min_err = float(np.nanmin(np.asarray(r.err_hist)))
