@@ -124,6 +124,15 @@ def tile_bucketed_panels(csr, pr: int, pc: int, block=(8, 128),
         not isinstance(dtype, str) and np.dtype(dtype).name == "int4")
     if is_int4:
         dtype = np.int8
+    # exact per-tile ||A_tile||_F^2 of the SOURCE matrix, recorded BEFORE
+    # any quantization (mirrors shard_bucketed_panels / from_csr — the
+    # quantized integer matrix would overestimate by ~qmax/max|row|)
+    fro = np.zeros(pd, np.float32)
+    for i in range(pr):
+        row_slab = csr[i * mloc:(i + 1) * mloc].tocsc()
+        for j in range(pc):
+            tile = row_slab[:, j * nloc:(j + 1) * nloc]
+            fro[i * pc + j] = float((tile.multiply(tile)).sum())
     row_scale = None
     if is_int4 or np.dtype(dtype) == np.int8:
         from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
@@ -134,13 +143,11 @@ def tile_bucketed_panels(csr, pr: int, pc: int, block=(8, 128),
             np.broadcast_to(s.reshape(pr, 1, mloc), (pr, pc, mloc))
             .reshape(pd, mloc).copy())
 
-    fro = np.zeros(pd, np.float32)
     tiles = []
     for i in range(pr):
         row_slab = csr[i * mloc:(i + 1) * mloc].tocsc()
         for j in range(pc):
             tile = row_slab[:, j * nloc:(j + 1) * nloc].tocsr()
-            fro[i * pc + j] = float((tile.multiply(tile)).sum())
             tiles.append(bucketed_block_ell_from_csr(
                 tile, block=block, dtype=dtype, n_buckets=n_buckets,
                 row_group=row_group, pack_int4=is_int4))
@@ -348,23 +355,12 @@ def ba_gmres_sharded_pallas_2d(
         def pdot_m(u, v):
             return jax.lax.psum(jnp.dot(u, v), ar)
 
-        def A_mv(x_loc):
-            """row-sharded A x from the col-sharded x: tile kernel + one
-            psum over cols; quantized row scales applied after the psum."""
-            part = tile_matvec(A_loc, x_loc, interpret=interpret)
-            y = jax.lax.psum(part, ac)
-            if A_loc.row_scale is not None:
-                y = A_loc.row_scale[0] * y
-            return y.astype(dtype)
-
-        def B_mv(u_loc):
-            """col-sharded B u from the row-sharded u: transposed tile
-            kernel + one psum over rows (B^T ~= diag(s) Q => B u =
-            Q^T (s u), pre-scaled before the kernel)."""
-            if BT_loc.row_scale is not None:
-                u_loc = BT_loc.row_scale[0] * u_loc.astype(jnp.float32)
-            part = tile_rmatvec(BT_loc, u_loc, interpret=interpret)
-            return jax.lax.psum(part, ar).astype(dtype)
+        # A applied forward through its own tiles; B through the
+        # TRANSPOSED kernel of the BT tiles (B u = Q^T (s u)) — both from
+        # the shared tiled_local_ops (one source for the quantized-scale
+        # placement).
+        A_mv, _, _ = tiled_local_ops(A_loc, axes, dtype, interpret)
+        _, B_mv, _ = tiled_local_ops(BT_loc, axes, dtype, interpret)
 
         b_norm = jnp.sqrt(pdot_m(b_loc, b_loc))
         xt_norm = jnp.sqrt(pdot_n(xt_loc, xt_loc))
@@ -482,18 +478,8 @@ def ab_gmres_sharded_pallas_2d(
         def pdot_m(u, v):
             return jax.lax.psum(jnp.dot(u, v), ar)
 
-        def A_mv(x_loc):
-            part = tile_matvec(A_loc, x_loc, interpret=interpret)
-            y = jax.lax.psum(part, ac)
-            if A_loc.row_scale is not None:
-                y = A_loc.row_scale[0] * y
-            return y.astype(dtype)
-
-        def B_mv(u_loc):
-            if BT_loc.row_scale is not None:
-                u_loc = BT_loc.row_scale[0] * u_loc.astype(jnp.float32)
-            part = tile_rmatvec(BT_loc, u_loc, interpret=interpret)
-            return jax.lax.psum(part, ar).astype(dtype)
+        A_mv, _, _ = tiled_local_ops(A_loc, axes, dtype, interpret)
+        _, B_mv, _ = tiled_local_ops(BT_loc, axes, dtype, interpret)
 
         b_norm = jnp.sqrt(pdot_m(b_loc, b_loc))
         xt_norm = jnp.sqrt(pdot_n(xt_loc, xt_loc))

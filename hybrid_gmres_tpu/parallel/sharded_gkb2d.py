@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from hybrid_gmres_tpu.krylov.projected import projected_gram_tikhonov_solve
 from hybrid_gmres_tpu.parallel.panels2d import TiledPanels, tiled_local_ops
 from hybrid_gmres_tpu.solvers.common import GKBResult
 
@@ -416,17 +415,10 @@ def hybrid_lsmr_sharded_2d(
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
-    adaptive = isinstance(lam, str)
-    if adaptive:
-        if lam != "gcv":
-            raise ValueError("lam must be a scalar or 'gcv'")
-        import numpy as _np
+    from hybrid_gmres_tpu.solvers.lsmr import (
+        _hybrid_lsmr_projected, make_hybrid_lsmr_lam_fn)
 
-        from hybrid_gmres_tpu.reg.gcv import gcv_factors, gcv_from_factors
-
-        grid = jnp.asarray(
-            _np.logspace(-8, -1, 50) if gcv_grid is None else gcv_grid,
-            dtype=dtype)
+    lam_fn = make_hybrid_lsmr_lam_fn(lam, gcv_grid, n, maxit, dtype)
 
     def solver(A_loc, b_loc, xt_loc):
         matvec, rmatvec, _ = tiled_local_ops(A_loc, axes, dtype, interpret)
@@ -458,25 +450,10 @@ def hybrid_lsmr_sharded_2d(
             V_n = jax.lax.select(
                 adv, V.at[:, jnp.minimum(k + 1, maxit - 1)].set(v2), V)
 
-            BtB = Bmat_n.T @ Bmat_n
-            G = BtB @ BtB
-            coef = (alpha_n * beta_k) ** 2
-            if rank1_mode == "last":
-                e_idx = kdim - 1
-            else:
-                e_idx = jnp.zeros((), jnp.int32)
-            e_vec = jax.nn.one_hot(e_idx, maxit, dtype=dtype)
-            G = G + coef * jnp.outer(e_vec, e_vec)
-            rhs = alpha1 * beta1 * BtB[:, 0]
-            if adaptive:
-                t = jnp.zeros((maxit + 1,), dtype).at[0].set(b_norm)
-                factors = gcv_factors(Bmat_n, t, kdim)
-                vals = jax.vmap(
-                    lambda l: gcv_from_factors(factors, l, n))(grid)
-                lam_k = grid[jnp.argmin(vals)]
-            else:
-                lam_k = lam
-            y = projected_gram_tikhonov_solve(G, rhs, lam_k, kdim)
+            y = _hybrid_lsmr_projected(
+                Bmat_n, alpha_n, beta_k, alpha1 * beta1,
+                lam_fn(Bmat_n, kdim, b_norm), kdim, maxit, rank1_mode,
+                dtype)
             x_n = V_n @ y
 
             res_k = pnorm_m(b_loc - matvec(x_n)) / b_norm

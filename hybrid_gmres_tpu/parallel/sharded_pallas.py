@@ -126,7 +126,9 @@ def ba_gmres_sharded_pallas(
         # exhausted-budget runs resume active; stopped runs (tol/breakdown)
         # resume inactive — matches the uninterrupted run exactly (see
         # gmres_core)
-        resumed_active = k0 == resume_from.res_hist.shape[0]
+        resumed_active = (bool(resume_from.active)
+                          if resume_from.active is not None
+                          else k0 == resume_from.res_hist.shape[0])
         from hybrid_gmres_tpu.utils.checkpoint import pad_state
 
         rs = pad_state(resume_from, maxit)
@@ -225,12 +227,13 @@ def ba_gmres_sharded_pallas(
             active = active & ~stop
             return (Qn, Hn, x, active, niters, IMG), (res_rec, err_rec)
 
-        (Q, H, x, _, niters, IMG), (res_hist, err_hist) = jax.lax.scan(
-            body,
-            (Q0, H0, xc0, active0, niters0, IMG0),
-            jnp.arange(k0, maxit, dtype=jnp.int32),
-        )
-        return x, err_hist, res_hist, niters, Q, H, beta, IMG
+        (Q, H, x, active_f, niters, IMG), (res_hist, err_hist) = \
+            jax.lax.scan(
+                body,
+                (Q0, H0, xc0, active0, niters0, IMG0),
+                jnp.arange(k0, maxit, dtype=jnp.int32),
+            )
+        return x, err_hist, res_hist, niters, Q, H, beta, IMG, active_f
 
     base_specs = (P(axis), P(axis), P(axis), P(axis), P(axis))
     carry_specs = (P(axis, None), P(), P(axis), P(), P(axis, None), P())
@@ -244,10 +247,10 @@ def ba_gmres_sharded_pallas(
         mesh=mesh,
         in_specs=in_specs,
         out_specs=(P(axis), P(), P(), P(), P(axis, None), P(), P(),
-                   P(axis, None)),
+                   P(axis, None), P()),
         check_vma=False,
     )
-    x, err_new, res_new, niters, Q, H, beta, IMG = f(*args)
+    x, err_new, res_new, niters, Q, H, beta, IMG, active_f = f(*args)
     if resume_from is None:
         res_hist, err_hist = res_new, err_new
     else:
@@ -255,7 +258,8 @@ def ba_gmres_sharded_pallas(
         err_hist = jnp.concatenate([rs.err_hist[:k0], err_new])
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
-    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=IMG)
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=IMG,
+                       active=active_f)
 
 
 def ab_gmres_sharded_pallas(
@@ -310,7 +314,9 @@ def ab_gmres_sharded_pallas(
         k0 = int(resume_from.niters)
         if k0 >= maxit:
             raise ValueError(f"resume needs maxit > {k0}")
-        resumed_active = k0 == resume_from.res_hist.shape[0]
+        resumed_active = (bool(resume_from.active)
+                          if resume_from.active is not None
+                          else k0 == resume_from.res_hist.shape[0])
         from hybrid_gmres_tpu.utils.checkpoint import pad_state
 
         rs = pad_state(resume_from, maxit)
@@ -400,12 +406,13 @@ def ab_gmres_sharded_pallas(
             active = active & ~stop
             return (Qn, Hn, x, active, niters, S, W), (res_rec, err_rec)
 
-        (Q, H, x, _, niters, S, W), (res_hist, err_hist) = jax.lax.scan(
-            body,
-            (Q0, H0, xc0, active0, niters0, S0, W0),
-            jnp.arange(k0, maxit, dtype=jnp.int32),
-        )
-        return x, err_hist, res_hist, niters, Q, H, beta, W, S
+        (Q, H, x, active_f, niters, S, W), (res_hist, err_hist) = \
+            jax.lax.scan(
+                body,
+                (Q0, H0, xc0, active0, niters0, S0, W0),
+                jnp.arange(k0, maxit, dtype=jnp.int32),
+            )
+        return x, err_hist, res_hist, niters, Q, H, beta, W, S, active_f
 
     base_specs = (P(axis), P(axis), P(axis), P(axis), P(axis))
     carry_specs = (P(axis, None), P(), P(axis), P(), P(axis, None),
@@ -420,10 +427,10 @@ def ab_gmres_sharded_pallas(
         mesh=mesh,
         in_specs=in_specs,
         out_specs=(P(axis), P(), P(), P(), P(axis, None), P(), P(),
-                   P(axis, None), P(axis, None)),
+                   P(axis, None), P(axis, None), P()),
         check_vma=False,
     )
-    x, err_new, res_new, niters, Q, H, beta, W, S = f(*args)
+    x, err_new, res_new, niters, Q, H, beta, W, S, active_f = f(*args)
     if resume_from is None:
         res_hist, err_hist = res_new, err_new
     else:
@@ -432,7 +439,7 @@ def ab_gmres_sharded_pallas(
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=W,
-                       S=S)
+                       S=S, active=active_f)
 
 
 def ba_gmres_sharded_pallas_restarted(

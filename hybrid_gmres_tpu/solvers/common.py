@@ -61,6 +61,11 @@ class GMRESResult(NamedTuple):
     # makes fused runs resumable (utils/checkpoint.py).
     IMG: Optional[jax.Array] = None   # (m_img, maxit)
     S: Optional[jax.Array] = None     # (x_shape, maxit), AB fused only
+    # Final scan active flag (bool scalar; None on legacy checkpoints /
+    # non-scan paths): a stopped run (tol or breakdown) must resume
+    # INACTIVE even when the stop landed exactly on the last budgeted
+    # iteration — inferring from niters alone cannot tell that case apart.
+    active: Optional[jax.Array] = None
 
 
 class GKBState(NamedTuple):
@@ -259,22 +264,28 @@ def gmres_core(
 
     if resume_from is not None:
         # A run that exhausted its budget resumes active; one that STOPPED
-        # (tol hit or breakdown: niters < its maxit) resumes inactive, so
-        # resume(run(k), K) == run(K) exactly even across a stop (the
-        # uninterrupted run records nothing after its stopping iteration).
-        start_active = jnp.bool_(k0 == resume_from.res_hist.shape[0])
+        # (tol hit or breakdown) resumes inactive, so resume(run(k), K) ==
+        # run(K) exactly even across a stop (the uninterrupted run records
+        # nothing after its stopping iteration).  Prefer the checkpointed
+        # flag; fall back to the niters heuristic for legacy checkpoints
+        # (which cannot distinguish a stop ON the final iteration).
+        if resume_from.active is not None:
+            start_active = jnp.asarray(resume_from.active, bool)
+        else:
+            start_active = jnp.bool_(k0 == resume_from.res_hist.shape[0])
     else:
         start_active = beta > 0
-    (Q, H, x, _, niters, IMG_f, S_f), (res_hist, err_hist) = jax.lax.scan(
-        body,
-        (Q0, H0, x0, start_active, jnp.int32(k0), IMG0, S0),
-        jnp.arange(k0, maxit, dtype=jnp.int32),
-    )
+    (Q, H, x, active_f, niters, IMG_f, S_f), (res_hist, err_hist) = \
+        jax.lax.scan(
+            body,
+            (Q0, H0, x0, start_active, jnp.int32(k0), IMG0, S0),
+            jnp.arange(k0, maxit, dtype=jnp.int32),
+        )
     if k0 > 0:
         res_hist = jnp.concatenate([prior_res[:k0], res_hist])
         err_hist = jnp.concatenate([prior_err[:k0], err_hist])
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta,
-                       IMG=IMG_f, S=S_f)
+                       IMG=IMG_f, S=S_f, active=active_f)
 
 
 def _gmres_core_deferred(fused, project_solve, solution_fn, error_fn, maxit,
@@ -330,8 +341,12 @@ def _gmres_core_deferred(fused, project_solve, solution_fn, error_fn, maxit,
     err_hist = jnp.where(rec, err_full, nan)
     slot = jnp.maximum(niters - 1, 0)
     x = jnp.where(niters > 0, X[:, slot], jnp.zeros((x_shape,), dtype))
+    # the active flag an equivalent masked scan would end with: ran the
+    # full budget (no breakdown) and never hit tol
+    active_f = (nsteps == maxit) & ~any_hit
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=IMG,
-                       S=S_rows.T if fused.solution_from_image else None)
+                       S=S_rows.T if fused.solution_from_image else None,
+                       active=active_f)
 
 
 def safe_normalize(vec):

@@ -214,6 +214,34 @@ def _hybrid_lsmr_projected(Bmat, alpha_next, beta_k, ab1, lam, kdim, maxit,
     return projected_gram_tikhonov_solve(G, rhs, lam, kdim)
 
 
+def make_hybrid_lsmr_lam_fn(lam, gcv_grid, n, maxit, dtype):
+    """Shared lambda-selection strategy for hybrid LSMR (single-chip and
+    the 1-D/2-D sharded twins): scalar passthrough, or the HyBR-style
+    per-iteration GCV pick on the projected bidiagonal problem.  Returns
+    ``lam_fn(Bmat_k, kdim, b_norm)``; pure replicated k x k compute, safe
+    inside shard_map."""
+    if not isinstance(lam, str):
+        return lambda Bmat_k, kdim, b_norm: lam
+    if lam != "gcv":
+        raise ValueError("lam must be a scalar or 'gcv'")
+    import numpy as _np
+
+    from hybrid_gmres_tpu.reg.gcv import gcv_factors, gcv_from_factors
+
+    grid_arr = jnp.asarray(
+        _np.logspace(-8, -1, 50) if gcv_grid is None else gcv_grid,
+        dtype=dtype)
+
+    def lam_fn(Bmat_k, kdim, b_norm):
+        t = jnp.zeros((maxit + 1,), dtype).at[0].set(b_norm)
+        factors = gcv_factors(Bmat_k, t, kdim)
+        vals = jax.vmap(
+            lambda l: gcv_from_factors(factors, l, n))(grid_arr)
+        return grid_arr[jnp.argmin(vals)]
+
+    return lam_fn
+
+
 def hybrid_lsmr(
     A,
     b,
@@ -261,27 +289,8 @@ def hybrid_lsmr(
     b_norm = jnp.linalg.norm(b)
     error_fn = rel_error_fn(x_true)
 
-    adaptive = isinstance(lam, str)
-    if adaptive:
-        if lam != "gcv":
-            raise ValueError("lam must be a scalar or 'gcv'")
-        import numpy as _np
-
-        from hybrid_gmres_tpu.reg.gcv import gcv_factors, gcv_from_factors
-
-        grid = jnp.asarray(
-            _np.logspace(-8, -1, 50) if gcv_grid is None else gcv_grid,
-            dtype=dtype)
-
-    def _lam_k(Bmat_k, kdim):
-        """Per-iteration lambda: fixed scalar, or the GCV-optimal point of
-        the projected bidiagonal problem (beta_1 = ||b||)."""
-        if not adaptive:
-            return lam
-        t = jnp.zeros((maxit + 1,), dtype).at[0].set(b_norm)
-        factors = gcv_factors(Bmat_k, t, kdim)
-        vals = jax.vmap(lambda l: gcv_from_factors(factors, l, n))(grid)
-        return grid[jnp.argmin(vals)]
+    _lam_fn = make_hybrid_lsmr_lam_fn(lam, gcv_grid, n, maxit, dtype)
+    _lam_k = lambda Bmat_k, kdim: _lam_fn(Bmat_k, kdim, b_norm)
 
     def _purify(Basis, vec):
         vec = vec - Basis @ (Basis.T @ vec)
@@ -367,6 +376,13 @@ def hybrid_lsmr(
         # is the advanced one): this is exactly what an uninterrupted run
         # records at that iteration.
         did = jnp.isfinite(prior_res[k0 - 1]) if k0 > 0 else jnp.bool_(False)
+        if k0 > 0 and k0 < maxit:
+            # The checkpointed run could not write v_{k0+1} into V (its V
+            # had only k0 columns); the uninterrupted run puts it at column
+            # k0.  The carried v IS that advanced vector — place it, so
+            # resumed iterates x = V y keep the y[k0] component (without
+            # this, resume silently dropped a basis direction).
+            V0 = jax.lax.select(did, V0.at[:, k0].set(v), V0)
         if k0 > 0:
             beta_k = Bmat0[k0, k0 - 1]
             y = _hybrid_lsmr_projected(Bmat0, alpha, beta_k, ab1,

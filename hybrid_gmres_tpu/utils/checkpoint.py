@@ -31,6 +31,8 @@ def save_state(path: str, result: GMRESResult) -> None:
         d["IMG"] = np.asarray(result.IMG)
     if result.S is not None:
         d["S"] = np.asarray(result.S)
+    if result.active is not None:
+        d["active"] = np.asarray(result.active)
     np.savez_compressed(path, **d)
 
 
@@ -46,6 +48,7 @@ def load_state(path: str) -> GMRESResult:
         beta=jnp.asarray(z["beta"]),
         IMG=jnp.asarray(z["IMG"]) if "IMG" in z.files else None,
         S=jnp.asarray(z["S"]) if "S" in z.files else None,
+        active=(jnp.asarray(z["active"]) if "active" in z.files else None),
     )
 
 
@@ -73,6 +76,7 @@ def pad_state(result: GMRESResult, maxit: int) -> GMRESResult:
         beta=result.beta,
         IMG=pad_cols(result.IMG),
         S=pad_cols(result.S),
+        active=result.active,
     )
 
 

@@ -215,3 +215,57 @@ def test_hybrid_lsmr_sharded_adaptive_gcv_matches_single_device():
                                np.asarray(r_ref.err_hist), rtol=1e-7)
     np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_ref.x),
                                rtol=1e-7, atol=1e-10)
+
+
+def test_hybrid_lsmr_resume_well_conditioned_exact():
+    """Regression (self-review r3 #1): resume must place the carried
+    advanced right vector into V column k0 — on a well-conditioned random
+    system with tiny lam the dropped y[k0] component was O(1), not damped
+    to zero like the deriv2+Tikhonov fixture above."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hybrid_gmres_tpu import hybrid_lsmr
+
+    rng = np.random.default_rng(7)
+    A = jnp.asarray(rng.standard_normal((48, 32)) + 3.0 * np.eye(48, 32))
+    x_true = jnp.asarray(rng.standard_normal(32))
+    b = A @ x_true + 0.01 * jnp.asarray(rng.standard_normal(48))
+    r_full = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=16, lam=1e-8)
+    r_half = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=8, lam=1e-8)
+    r_res = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=16, lam=1e-8,
+                        resume_from=r_half.state)
+    np.testing.assert_allclose(np.asarray(r_res.res_hist),
+                               np.asarray(r_full.res_hist), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(r_res.x), np.asarray(r_full.x),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_gkb_2d_quantized_ar_hist_normalization():
+    """Regression (self-review r3 #2): quantized 2-D tiles must record the
+    SOURCE matrix's Frobenius mass, so lsmr_sharded_2d's ar_hist matches a
+    single-device LSMR on the exactly-quantized operator."""
+    import numpy as np
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
+    from hybrid_gmres_tpu.parallel import (
+        lsmr_sharded_2d, make_mesh_2d, tile_bucketed_panels)
+
+    rng = np.random.default_rng(11)
+    Ad = (rng.standard_normal((64, 32)) * (rng.random((64, 32)) < 0.4)
+          ).astype(np.float32)
+    b = rng.standard_normal(64).astype(np.float32)
+    mesh = make_mesh_2d((4, 2))
+    tiles = tile_bucketed_panels(sp.csr_matrix(Ad), 4, 2, dtype="int8")
+    # recorded mass == source matrix, NOT the integer matrix
+    np.testing.assert_allclose(float(np.sum(np.asarray(tiles.fro_sq))),
+                               float(np.sum(Ad * Ad)), rtol=1e-5)
+    r = lsmr_sharded_2d(tiles, jnp.asarray(b), tol=0.0, maxit=8, mesh=mesh,
+                        interpret=True)
+    Aq_csr, s = _row_quantize_csr(sp.csr_matrix(Ad), qmax=127)
+    Aq = jnp.asarray((s[:, None] * Aq_csr.toarray()).astype(np.float32))
+    r_ref = lsmr(Aq, jnp.asarray(b), tol=0.0, maxit=8,
+                 fro_norm=float(np.linalg.norm(Ad)))
+    np.testing.assert_allclose(np.asarray(r.ar_hist),
+                               np.asarray(r_ref.ar_hist, np.float32),
+                               rtol=5e-3)
