@@ -127,3 +127,24 @@ def test_phantom2d_driver(tmp_path):
         assert np.all(np.isfinite(v)), name
     paths = phantom2d.figures(res, str(tmp_path))
     assert len(paths) == 4
+
+
+def test_results_json_has_no_stale_keys():
+    """figures/results.json (the numbers RESULTS.md quotes) must contain
+    only keys the current driver set produces (VERDICT r2 weak#2: stale
+    keys survived merges before the CLI learned to prune)."""
+    import json
+    import os
+
+    from hybrid_gmres_tpu.experiments.__main__ import DRIVERS, _JSON_KEY
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "figures", "results.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("no generated results.json in this checkout")
+    with open(path) as f:
+        results = json.load(f)
+    known = {_JSON_KEY.get(n, n) for n in DRIVERS}
+    assert set(results) <= known, set(results) - known
