@@ -2,7 +2,9 @@
 interpret mode, no CPU forcing.
 
 Run on a machine with a TPU attached:  ``python -m pytest tests_tpu -q``
-(~2 min incl. CT assembly + kernel compiles).  Kept OUTSIDE tests/ so the
+(~15 min total incl. CT assembly + kernel compiles — run the two files
+separately to stay under a 10-min command timeout).  Kept OUTSIDE tests/
+so the
 default CPU/x64 suite (tests/conftest.py forces the cpu platform for f64
 parity oracles) is untouched; every test here auto-skips when the backend
 is not a TPU.  This tier exists because interpret-mode Pallas cannot catch
