@@ -410,33 +410,50 @@ def host_window_x(sp: ShardedPanels, i: int, x) -> jnp.ndarray:
 
 def comms_bytes_per_iteration(A_panels: ShardedPanels,
                               itemsize: int = 4,
-                              kdim: int = 0) -> dict:
+                              kdim: int = 0,
+                              B_panels: ShardedPanels | None = None) -> dict:
     """Analytic per-iteration communication volume (bytes per device) of the
     sharded-Pallas GMRES schedule, for DESIGN.md and scaling sanity checks.
 
-    Per iteration: one x gather (windowed ppermutes or all_gather), one
-    reduce_scatter of the n-vector, two fused psum(kdim+1) CGS2 reductions
-    and ~4 scalar psums (ring all-reduce ~= 2 (p-1)/p bytes/elem).
+    Per iteration: one x gather (windowed ppermutes or all_gather), two
+    fused psum(kdim+1) CGS2 reductions, ~4 scalar psums (ring all-reduce
+    ~= 2 (p-1)/p bytes/elem), and the back-projector's collective:
+
+      * transposed layout (``B_panels=None``): one reduce_scatter of the
+        n-vector, (p-1)*n/p bytes;
+      * forward layout: one gather of the m-sharded intermediate through
+        ``B_panels``'s own window (L*m/p windowed, (p-1)*m/p full) and no
+        reduction — more wire bytes when m >> n, traded for the faster
+        forward kernel (see ``sharded_pallas._make_B_mv``).
     """
     p = A_panels.p
     n = A_panels.shape[1]
     nloc = n // p
-    if A_panels.windowed:
-        _, L = A_panels.shifts
-        gather = L * nloc * itemsize
+
+    def _gather_bytes(sp: ShardedPanels) -> int:
+        xloc = sp.shape[1] // p
+        if sp.windowed:
+            _, L = sp.shifts
+            return L * xloc * itemsize
+        return (p - 1) * xloc * itemsize
+
+    gather = _gather_bytes(A_panels)
+    if B_panels is None:
+        b_collective = (p - 1) * nloc * itemsize
+        b_key = "reduce_scatter_bytes"
     else:
-        gather = (p - 1) * nloc * itemsize
-    reduce_scatter = (p - 1) * nloc * itemsize
+        b_collective = _gather_bytes(B_panels)
+        b_key = "b_gather_bytes"
     allred = 2.0 * (p - 1) / p * itemsize
     cgs2 = 2 * (kdim + 1) * allred
     scalars = 4 * allred
     return {
         "p": p,
         "gather_bytes": gather,
-        "reduce_scatter_bytes": reduce_scatter,
+        b_key: b_collective,
         "cgs2_bytes": cgs2,
         "scalar_bytes": scalars,
-        "total_bytes": gather + reduce_scatter + cgs2 + scalars,
+        "total_bytes": gather + b_collective + cgs2 + scalars,
     }
 
 

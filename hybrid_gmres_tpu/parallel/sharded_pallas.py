@@ -48,24 +48,64 @@ __all__ = [
 ]
 
 
-def _validate(A_panels: ShardedPanels, BT_panels: ShardedPanels, mesh, axis):
+def _validate(A_panels: ShardedPanels, BT_panels, mesh, axis,
+              B_panels=None):
     p = mesh.devices.size
     m, n = A_panels.shape
-    if BT_panels.shape != (m, n):
+    if BT_panels is None and B_panels is None:
+        raise ValueError("need BT_panels (transposed layout) or B_panels "
+                         "(forward layout) for the back-projector")
+    if BT_panels is not None and BT_panels.shape != (m, n):
         raise ValueError(
             f"BT panels must cover the transposed back-projector as (m, n)="
             f"{(m, n)}; got {BT_panels.shape}")
-    if A_panels.p != p or BT_panels.p != p:
+    if B_panels is not None and B_panels.shape != (n, m):
         raise ValueError(
-            f"panels built for p={A_panels.p}/{BT_panels.p}, mesh has {p}")
+            f"B panels must cover the back-projector as (n, m)={(n, m)}; "
+            f"got {B_panels.shape}")
+    for nm, pl in (("A", A_panels), ("BT", BT_panels), ("B", B_panels)):
+        if pl is not None and pl.p != p:
+            raise ValueError(f"{nm} panels built for p={pl.p}, mesh has {p}")
     if m % p or n % p:
         raise ValueError(f"mesh size {p} must divide m={m} and n={n}")
     return p, m, n
 
 
+def _make_B_mv(B_loc, b_forward, axis, dtype, interpret):
+    """Shard-local ``u (m-sharded) -> B u (n-sharded)`` in one of two
+    layouts (DESIGN §12):
+
+      * ``transposed`` (default): ``B_loc`` holds this shard's ray-major
+        rows of B^T; the transposed kernel produces a window-relative
+        n-space partial that one ``psum_scatter`` ((p-1)*n/p bytes) lands
+        on the n-sharded basis.  No gather of u, but the transposed
+        kernel's accumulation chain is ~25% slower than the forward one.
+      * ``forward``: ``B_loc`` holds this shard's PIXEL rows of B itself
+        (``shard_bucketed_panels(B_csr, p)``) — the exact single-chip
+        kernel configuration (``ct_tpu_operators`` applies B forward).
+        Costs one gather of the m-sharded u ((p-1)*m/p bytes, or windowed)
+        and NO reduction: each shard's forward kernel emits its own n/p
+        pixel slab directly.  Trades wire bytes (m >> n for CT) for the
+        faster kernel — on ICI the extra gather is microseconds while the
+        kernel saving is the per-shard throughput gap (VERDICT r3 #1).
+    """
+    if b_forward:
+        def B_mv(u_loc):
+            u_win = gather_window(B_loc, u_loc, axis)
+            return local_matvec(B_loc, u_win,
+                                interpret=interpret).astype(dtype)
+    else:
+        def B_mv(u_loc):
+            part = local_rmatvec_window(B_loc, u_loc, interpret=interpret)
+            full = scatter_window_to_full(B_loc, part).astype(dtype)
+            return jax.lax.psum_scatter(full, axis, scatter_dimension=0,
+                                        tiled=True)
+    return B_mv
+
+
 def ba_gmres_sharded_pallas(
     A_panels: ShardedPanels,
-    BT_panels: ShardedPanels,
+    BT_panels: ShardedPanels | None,
     b,
     x_true=None,
     tol: float = 1e-6,
@@ -77,6 +117,7 @@ def ba_gmres_sharded_pallas(
     interpret: bool = False,
     x0=None,
     resume_from: GMRESResult | None = None,
+    B_panels: ShardedPanels | None = None,
 ) -> GMRESResult:
     """Fully-sharded (hybrid) BA-GMRES with Pallas local SpMV on every shard.
 
@@ -86,6 +127,12 @@ def ba_gmres_sharded_pallas(
     the transposed kernel, and its window-relative partial is
     reduce-scattered straight onto the n-sharded basis.  The TRUE residual
     comes from the stored A q_k images (2 SpMVs/iteration).
+    ``B_panels``: OPTIONAL forward-layout back-projector panels
+    (``shard_bucketed_panels(B_csr, p)``, B's own pixel rows) — when given,
+    B is applied through the FORWARD kernel (the single-chip configuration)
+    at the cost of gathering the m-sharded intermediate instead of
+    reduce-scattering the n-vector; ``BT_panels`` may then be ``None``.
+    See ``_make_B_mv`` for the trade.
     ``lam``: None (non-hybrid), scalar (hybrid PTR), or "gcv" (per-iteration
     GCV-optimal lambda over ``gcv_grid``, evaluated shard-replicated with no
     extra collectives).
@@ -103,7 +150,9 @@ def ba_gmres_sharded_pallas(
 
         mesh = make_mesh(axis_name=axis)
     maxit = int(maxit)
-    p, m, n = _validate(A_panels, BT_panels, mesh, axis)
+    p, m, n = _validate(A_panels, BT_panels, mesh, axis, B_panels)
+    b_forward = B_panels is not None
+    Bp = B_panels if b_forward else BT_panels
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
@@ -133,7 +182,7 @@ def ba_gmres_sharded_pallas(
 
         rs = pad_state(resume_from, maxit)
 
-    def solver(A_loc, BT_loc, b_loc, xt_loc, x0_loc, *carry_in):
+    def solver(A_loc, B_loc, b_loc, xt_loc, x0_loc, *carry_in):
         nloc = n // p
         mloc = m // p
 
@@ -149,12 +198,8 @@ def ba_gmres_sharded_pallas(
             return local_matvec(A_loc, x_win, interpret=interpret
                                 ).astype(dtype)
 
-        def B_mv_scatter(u_loc):
-            """My (n/p,) slab of B @ u: transposed kernel + reduce_scatter."""
-            part = local_rmatvec_window(BT_loc, u_loc, interpret=interpret)
-            full = scatter_window_to_full(BT_loc, part).astype(dtype)
-            return jax.lax.psum_scatter(full, axis, scatter_dimension=0,
-                                        tiled=True)
+        # (n/p,) slab of B @ u from the m-sharded u, forward or transposed
+        B_mv_scatter = _make_B_mv(B_loc, b_forward, axis, dtype, interpret)
 
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
@@ -237,7 +282,7 @@ def ba_gmres_sharded_pallas(
 
     base_specs = (P(axis), P(axis), P(axis), P(axis), P(axis))
     carry_specs = (P(axis, None), P(), P(axis), P(), P(axis, None), P())
-    args = (A_panels, BT_panels, b, x_true, x0)
+    args = (A_panels, Bp, b, x_true, x0)
     in_specs = base_specs
     if resume_from is not None:
         in_specs = base_specs + carry_specs
@@ -264,7 +309,7 @@ def ba_gmres_sharded_pallas(
 
 def ab_gmres_sharded_pallas(
     A_panels: ShardedPanels,
-    BT_panels: ShardedPanels,
+    BT_panels: ShardedPanels | None,
     b,
     x_true=None,
     tol: float = 1e-6,
@@ -276,6 +321,7 @@ def ab_gmres_sharded_pallas(
     interpret: bool = False,
     x0=None,
     resume_from: GMRESResult | None = None,
+    B_panels: ShardedPanels | None = None,
 ) -> GMRESResult:
     """Fully-sharded (hybrid) AB-GMRES: m-space Krylov basis sharded over
     rays, Pallas local SpMV (mirror of ``ABgmres_nonhybrid_bounds.m:24-37``
@@ -283,7 +329,8 @@ def ab_gmres_sharded_pallas(
     ``x = x0 + S y`` — the restart building block).  ``resume_from``: a
     prior result of this solver (the m-sharded W images live in ``.IMG``,
     the n-sharded solution images in ``.S``); same semantics as the BA
-    twin's resume.
+    twin's resume.  ``B_panels``: optional forward-layout back-projector
+    (see ``ba_gmres_sharded_pallas`` / ``_make_B_mv``).
 
     The image intermediates ``s_k = B q_k`` stay n-SHARDED (reduce_scatter,
     never replicated) and the raw images ``w_k = A s_k`` m-sharded, so the
@@ -297,7 +344,9 @@ def ab_gmres_sharded_pallas(
 
         mesh = make_mesh(axis_name=axis)
     maxit = int(maxit)
-    p, m, n = _validate(A_panels, BT_panels, mesh, axis)
+    p, m, n = _validate(A_panels, BT_panels, mesh, axis, B_panels)
+    b_forward = B_panels is not None
+    Bp = B_panels if b_forward else BT_panels
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
@@ -321,7 +370,7 @@ def ab_gmres_sharded_pallas(
 
         rs = pad_state(resume_from, maxit)
 
-    def solver(A_loc, BT_loc, b_loc, xt_loc, x0_loc, *carry_in):
+    def solver(A_loc, B_loc, b_loc, xt_loc, x0_loc, *carry_in):
         nloc = n // p
         mloc = m // p
 
@@ -331,11 +380,7 @@ def ab_gmres_sharded_pallas(
         def pnorm(u_loc):
             return jnp.sqrt(pdot(u_loc, u_loc))
 
-        def B_mv_scatter(u_loc):
-            part = local_rmatvec_window(BT_loc, u_loc, interpret=interpret)
-            full = scatter_window_to_full(BT_loc, part).astype(dtype)
-            return jax.lax.psum_scatter(full, axis, scatter_dimension=0,
-                                        tiled=True)
+        B_mv_scatter = _make_B_mv(B_loc, b_forward, axis, dtype, interpret)
 
         def A_mv(x_loc):
             x_win = gather_window(A_loc, x_loc, axis)
@@ -417,7 +462,7 @@ def ab_gmres_sharded_pallas(
     base_specs = (P(axis), P(axis), P(axis), P(axis), P(axis))
     carry_specs = (P(axis, None), P(), P(axis), P(), P(axis, None),
                    P(axis, None), P())
-    args = (A_panels, BT_panels, b, x_true, x0)
+    args = (A_panels, Bp, b, x_true, x0)
     in_specs = base_specs
     if resume_from is not None:
         in_specs = base_specs + carry_specs
@@ -446,6 +491,7 @@ def ba_gmres_sharded_pallas_restarted(
     A_panels, BT_panels, b, x_true=None, tol: float = 1e-6,
     restart: int = 20, max_restarts: int = 10, lam=None, gcv_grid=None,
     mesh: Mesh | None = None, axis: str = "rows", interpret: bool = False,
+    B_panels=None,
 ) -> GMRESResult:
     """Restarted sharded BA-GMRES(restart): memory-bounded Krylov cycles at
     scale; each cycle warm-starts from the previous sharded solution with no
@@ -457,7 +503,7 @@ def ba_gmres_sharded_pallas_restarted(
         lambda x0: ba_gmres_sharded_pallas(
             A_panels, BT_panels, b, x_true, tol=tol, maxit=int(restart),
             lam=lam, gcv_grid=gcv_grid, mesh=mesh, axis=axis,
-            interpret=interpret, x0=x0),
+            interpret=interpret, x0=x0, B_panels=B_panels),
         max_restarts, tol)
 
 
@@ -465,6 +511,7 @@ def ab_gmres_sharded_pallas_restarted(
     A_panels, BT_panels, b, x_true=None, tol: float = 1e-6,
     restart: int = 20, max_restarts: int = 10, lam=None, gcv_grid=None,
     mesh: Mesh | None = None, axis: str = "rows", interpret: bool = False,
+    B_panels=None,
 ) -> GMRESResult:
     """Restarted sharded AB-GMRES(restart) (see the BA twin)."""
     from hybrid_gmres_tpu.solvers.gmres import _restarted
@@ -473,5 +520,5 @@ def ab_gmres_sharded_pallas_restarted(
         lambda x0: ab_gmres_sharded_pallas(
             A_panels, BT_panels, b, x_true, tol=tol, maxit=int(restart),
             lam=lam, gcv_grid=gcv_grid, mesh=mesh, axis=axis,
-            interpret=interpret, x0=x0),
+            interpret=interpret, x0=x0, B_panels=B_panels),
         max_restarts, tol)

@@ -33,30 +33,30 @@ from hybrid_gmres_tpu.parallel.panels import (
     ShardedPanels,
     gather_window,
     local_matvec,
-    local_rmatvec_window,
-    scatter_window_to_full,
 )
-from hybrid_gmres_tpu.parallel.sharded_pallas import _validate
+from hybrid_gmres_tpu.parallel.sharded_pallas import _make_B_mv, _validate
 from hybrid_gmres_tpu.solvers.common import GMRESResult
 
 __all__ = ["ba_gmres_rtp_sharded", "ab_gmres_rtp_sharded"]
 
 
 def _rtp_core(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam, mesh,
-              axis, interpret):
+              axis, interpret, B_panels=None):
     if mesh is None:
         from hybrid_gmres_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(axis_name=axis)
     maxit = int(maxit)
-    p, m, n = _validate(A_panels, BT_panels, mesh, axis)
+    p, m, n = _validate(A_panels, BT_panels, mesh, axis, B_panels)
+    b_forward = B_panels is not None
+    Bp = B_panels if b_forward else BT_panels
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
     lam_c = jnp.asarray(lam, dtype)
 
-    def solver(A_loc, BT_loc, b_loc, xt_loc):
+    def solver(A_loc, B_loc, b_loc, xt_loc):
         nloc = n // p
         mloc = m // p
 
@@ -71,11 +71,8 @@ def _rtp_core(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam, mesh,
             return local_matvec(A_loc, x_win, interpret=interpret
                                 ).astype(dtype)
 
-        def B_mv_scatter(u_loc):
-            part = local_rmatvec_window(BT_loc, u_loc, interpret=interpret)
-            full = scatter_window_to_full(BT_loc, part).astype(dtype)
-            return jax.lax.psum_scatter(full, axis, scatter_dimension=0,
-                                        tiled=True)
+        B_mv_scatter = _make_B_mv(B_loc, b_forward, axis, dtype,
+                                  interpret)
 
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
@@ -171,7 +168,7 @@ def _rtp_core(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam, mesh,
         check_vma=False,
     )
     x, err_hist, res_hist, niters, Q, H, beta = f(
-        A_panels, BT_panels, b, x_true)
+        A_panels, Bp, b, x_true)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
@@ -179,7 +176,7 @@ def _rtp_core(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam, mesh,
 
 def ba_gmres_rtp_sharded(
     A_panels: ShardedPanels,
-    BT_panels: ShardedPanels,
+    BT_panels: ShardedPanels | None,
     b,
     x_true=None,
     tol: float = 1e-6,
@@ -188,16 +185,18 @@ def ba_gmres_rtp_sharded(
     mesh: Mesh | None = None,
     axis: str = "rows",
     interpret: bool = False,
+    B_panels: ShardedPanels | None = None,
 ) -> GMRESResult:
     """Sharded BA-GMRES (RTP): Krylov on ``B A + lam I``, plain projected
-    Hessenberg solve (``hybrid_ba_gmres_rtp.m:6-35`` at scale)."""
+    Hessenberg solve (``hybrid_ba_gmres_rtp.m:6-35`` at scale).
+    ``B_panels``: optional forward-layout back-projector (``_make_B_mv``)."""
     return _rtp_core("ba", A_panels, BT_panels, b, x_true, tol, maxit, lam,
-                     mesh, axis, interpret)
+                     mesh, axis, interpret, B_panels=B_panels)
 
 
 def ab_gmres_rtp_sharded(
     A_panels: ShardedPanels,
-    BT_panels: ShardedPanels,
+    BT_panels: ShardedPanels | None,
     b,
     x_true=None,
     tol: float = 1e-6,
@@ -206,9 +205,11 @@ def ab_gmres_rtp_sharded(
     mesh: Mesh | None = None,
     axis: str = "rows",
     interpret: bool = False,
+    B_panels: ShardedPanels | None = None,
 ) -> GMRESResult:
     """Sharded AB-GMRES (RTP): Krylov on ``B A + lam I``; inner Tikhonov
     solve vs the original A, b via the incrementally-accumulated image Gram
-    (``hybrid_ab_gmres_rtp.m:6-33`` at scale)."""
+    (``hybrid_ab_gmres_rtp.m:6-33`` at scale).
+    ``B_panels``: optional forward-layout back-projector (``_make_B_mv``)."""
     return _rtp_core("ab", A_panels, BT_panels, b, x_true, tol, maxit, lam,
-                     mesh, axis, interpret)
+                     mesh, axis, interpret, B_panels=B_panels)

@@ -25,6 +25,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--maxit", type=int, default=100)
     ap.add_argument("--dtype", default="int8")
+    ap.add_argument("--b-layout", choices=["transposed", "forward", "both"],
+                    default="both",
+                    help="back-projector panel layout: transposed kernel of "
+                         "the ray-major B^T panel (reduce_scatter schedule) "
+                         "vs forward kernel of B's own pixel rows (gather "
+                         "schedule, the single-chip kernel configuration)")
     args = ap.parse_args()
 
     import jax
@@ -89,23 +95,35 @@ def main():
     A_panels = shard_bucketed_panels(A_m, 1, block=(32, 128),
                                      dtype=args.dtype, n_buckets=8,
                                      row_group=8)
-    BT_panels = shard_bucketed_panels(B_m.T.tocsr(), 1, dtype=args.dtype,
-                                      n_buckets=8)
     mesh = make_mesh(1)
+    bj, xtj = jnp.asarray(b[rp]), jnp.asarray(x_true[pp])
 
-    @jax.jit
-    def sharded(Ap, BTp, bb, xt):
-        # the shard_map must run under jit — eagerly it dispatches each
-        # primitive through the tunnel (~25 ms apiece)
-        return ba_gmres_sharded_pallas(Ap, BTp, bb, xt, tol=0.0,
-                                       maxit=maxit, lam=1e-2, mesh=mesh,
-                                       interpret=False)
+    layouts = (["transposed", "forward"] if args.b_layout == "both"
+               else [args.b_layout])
+    for layout in layouts:
+        if layout == "transposed":
+            BT_panels = shard_bucketed_panels(B_m.T.tocsr(), 1,
+                                              dtype=args.dtype, n_buckets=8)
+            B_panels = None
+        else:
+            # forward layout: B's own pixel rows, the single-chip (8,128)
+            # kernel configuration
+            BT_panels = None
+            B_panels = shard_bucketed_panels(B_m, 1, dtype=args.dtype,
+                                             n_buckets=8)
 
-    dt2, r2 = timed(sharded, A_panels, BT_panels, jnp.asarray(b[rp]),
-                    jnp.asarray(x_true[pp]))
-    print(f"sharded p=1: {maxit / dt2:8.1f} it/s  (min err "
-          f"{float(np.nanmin(np.asarray(r2.err_hist))):.4f})")
-    print(f"sharded/single ratio: {dt1 / dt2:.3f}")
+        @jax.jit
+        def sharded(Ap, BTp, Bp, bb, xt):
+            # the shard_map must run under jit — eagerly it dispatches each
+            # primitive through the tunnel (~25 ms apiece)
+            return ba_gmres_sharded_pallas(Ap, BTp, bb, xt, tol=0.0,
+                                           maxit=maxit, lam=1e-2, mesh=mesh,
+                                           interpret=False, B_panels=Bp)
+
+        dt2, r2 = timed(sharded, A_panels, BT_panels, B_panels, bj, xtj)
+        print(f"sharded p=1 [{layout:10s}]: {maxit / dt2:8.1f} it/s  "
+              f"(min err {float(np.nanmin(np.asarray(r2.err_hist))):.4f})  "
+              f"ratio vs single: {dt1 / dt2:.3f}")
 
 
 if __name__ == "__main__":
