@@ -133,6 +133,44 @@ def main():
         times.append(time.time() - t0)
     dt = min(times)  # each run ~40 ms; min-of-10 tightens tunnel jitter
     iters_per_sec = maxit / dt
+
+    # Device-only us/iter (VERDICT r3 #3): run R complete solves inside one
+    # jit with a sequentially-chained carry (the (1 + 1e-30*sum) factor is
+    # exactly 1.0f but not constant-foldable) and take the R=1 vs R=3
+    # slope — the fixed ~20-24 ms tunnel dispatch cancels, leaving pure
+    # device time at the true bench shapes.  On CPU this is skipped (the
+    # dense fallback has no dispatch floor worth separating).
+    device_us_per_iter = None
+    if on_tpu:
+        def _rep(nrep):
+            @jax.jit
+            def run(A, B, bb, xt):
+                def outer(cb, _):
+                    rr = _solve.__wrapped__(A, B, cb, xt)
+                    return cb * (1.0 + 1e-30 * jnp.sum(rr.x)), ()
+                cb, _ = jax.lax.scan(outer, bb, jnp.arange(nrep))
+                return cb
+            return run
+
+        def _timed_rep(f):
+            out = f(A_op, B_op, b, x_true)
+            jax.block_until_ready(out)
+            float(jnp.sum(out))
+            ts = []
+            for _ in range(5):
+                t0 = time.time()
+                out = f(A_op, B_op, b, x_true)
+                jax.block_until_ready(out)
+                ts.append(time.time() - t0)
+            float(jnp.sum(out))
+            return min(ts)
+
+        t1 = _timed_rep(_rep(1))
+        t3 = _timed_rep(_rep(3))
+        device_us_per_iter = (t3 - t1) / 2 / maxit * 1e6
+        print(f"[bench] device-only: {device_us_per_iter:.1f} us/iter "
+              f"({1e6 / device_us_per_iter:.0f} it/s device-side; wall gap "
+              f"is tunnel dispatch)", file=sys.stderr)
     err = float(r.err_hist[int(r.niters) - 1])
     min_err = float(np.nanmin(np.asarray(r.err_hist)))
     nnz_per_sec = 2.0 * (A_csr.nnz + B_csr.nnz) * iters_per_sec
@@ -149,7 +187,7 @@ def main():
               f"{MIN_ERR_TOLERANCE})", file=sys.stderr)
         sys.exit(1)
 
-    print(json.dumps({
+    out = {
         "metric": "hybrid_ba_gmres_iters_per_sec_m100_ct64",
         "value": round(iters_per_sec, 2),
         "unit": "iterations/s",
@@ -157,7 +195,10 @@ def main():
         "min_rel_err": round(min_err, 4),
         "min_rel_err_gate": round(gate, 4),
         "nnz_per_sec": round(nnz_per_sec, 1),
-    }))
+    }
+    if device_us_per_iter is not None:
+        out["device_us_per_iter"] = round(device_us_per_iter, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

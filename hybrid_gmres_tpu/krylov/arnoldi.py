@@ -36,8 +36,13 @@ def arnoldi_orthogonalize(
     Split out of :func:`arnoldi_step` so callers that need the raw operator
     image (e.g. the fused-residual GMRES mode, which stores ``A q_k`` to
     reconstruct ``A x_k`` without an extra SpMV) can compute ``w`` themselves.
+
+    ``Q`` may be stored in a NARROWER dtype than ``w`` (bf16 basis storage,
+    DESIGN §10): the projections/updates then run in ``w``'s precision (the
+    MXU reads bf16 natively and accumulates f32) and only the stored column
+    is rounded.
     """
-    dtype = Q.dtype
+    dtype = w.dtype
     c1 = Q.T @ w
     w = w - Q @ c1
     c2 = Q.T @ w
@@ -47,9 +52,9 @@ def arnoldi_orthogonalize(
     breakdown = hnorm <= jnp.asarray(breakdown_tol, dtype)
     hsafe = jnp.where(breakdown, jnp.ones((), dtype), hnorm)
     h = h.at[k + 1].set(hnorm)
-    H = H.at[:, k].set(h)
+    H = H.at[:, k].set(h.astype(H.dtype))
     qnew = jnp.where(breakdown, jnp.zeros_like(w), w / hsafe)
-    Q = Q.at[:, k + 1].set(qnew)
+    Q = Q.at[:, k + 1].set(qnew.astype(Q.dtype))
     return ArnoldiState(Q=Q, H=H, breakdown=breakdown)
 
 

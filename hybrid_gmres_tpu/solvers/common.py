@@ -109,6 +109,7 @@ def gmres_core(
     residual: str = "true",
     fused: "FusedResidual | None" = None,
     defer_histories: bool = False,
+    basis_dtype=None,
 ) -> GMRESResult:
     """Generic preconditioned-GMRES scan shared by AB/BA x {non,}hybrid x PTR/RTP.
 
@@ -127,6 +128,15 @@ def gmres_core(
     per-step operator images (see :class:`FusedResidual`) — no extra SpMV,
     identical values up to float reassociation.
 
+    ``basis_dtype``: storage dtype for the LARGE per-iteration arrays (the
+    Krylov basis ``Q`` and the fused image bases ``IMG``/``S``) — e.g.
+    ``jnp.bfloat16`` halves their HBM traffic (CGS2 reads the full basis
+    four times per iteration, the fused residual reads ``IMG`` once); all
+    arithmetic still runs in the working dtype (MXU reads bf16 natively,
+    f32 accumulation), only the stored columns are rounded.  ``None``
+    (default) stores in the working dtype.  Measured on the CT bench the
+    rounding is far below the data noise (DESIGN §10).
+
     ``defer_histories`` (requires ``residual="fused"``): the scan body runs
     ONLY the Arnoldi expansion (SpMV + CGS2 + image store); the per-k
     projected solves become one batched (vmapped) solve after the scan and
@@ -141,6 +151,10 @@ def gmres_core(
     """
     if residual not in ("true", "estimate", "fused"):
         raise ValueError("residual must be 'true', 'estimate' or 'fused'")
+    if basis_dtype is not None and residual != "fused":
+        raise ValueError("basis_dtype requires residual='fused' (the "
+                         "production path; other modes hand basis columns "
+                         "straight to the operator)")
     if defer_histories:
         if residual != "fused":
             raise ValueError("defer_histories requires residual='fused'")
@@ -159,6 +173,7 @@ def gmres_core(
                 "residual='fused' resume needs a checkpoint from a fused "
                 "run (resume_from.IMG is the stored image basis)")
     dtype = r0.dtype
+    bdt = dtype if basis_dtype is None else jnp.dtype(basis_dtype)
     n = r0.shape[0]
 
     if not history:
@@ -188,14 +203,15 @@ def gmres_core(
         rs = pad_state(resume_from, maxit)
         k0 = int(resume_from.niters)
         beta = rs.beta
-        Q0, H0, x0 = rs.Q, rs.H, rs.x
+        Q0, H0, x0 = rs.Q.astype(bdt), rs.H, rs.x
         prior_res, prior_err = rs.res_hist, rs.err_hist
     else:
         k0 = 0
         beta = jnp.linalg.norm(r0)
         beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
-        Q0 = jnp.zeros((n, maxit + 1), dtype=dtype).at[:, 0].set(
-            jnp.where(beta > 0, r0 / beta_safe, jnp.zeros_like(r0)))
+        Q0 = jnp.zeros((n, maxit + 1), dtype=bdt).at[:, 0].set(
+            jnp.where(beta > 0, r0 / beta_safe,
+                      jnp.zeros_like(r0)).astype(bdt))
         H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
         x0 = (jnp.zeros((x_shape,), dtype=dtype) if x_init is None
               else jnp.asarray(x_init, dtype=dtype))
@@ -213,9 +229,11 @@ def gmres_core(
             if fused.solution_from_image and S0 is None:
                 raise ValueError("fused resume of an image-composed (AB) "
                                  "run needs resume_from.S")
+            IMG0 = IMG0.astype(bdt)
+            S0 = None if S0 is None else S0.astype(bdt)
         else:
-            IMG0 = jnp.zeros((fused.rhs.shape[0], maxit), dtype=dtype)
-            S0 = (jnp.zeros((x_shape, maxit), dtype=dtype)
+            IMG0 = jnp.zeros((fused.rhs.shape[0], maxit), dtype=bdt)
+            S0 = (jnp.zeros((x_shape, maxit), dtype=bdt)
                   if fused.solution_from_image else None)
     else:
         IMG0, S0 = None, None
@@ -223,11 +241,12 @@ def gmres_core(
     def body(carry, k):
         Q, H, x, active, niters, IMG, S = carry
         if residual == "fused":
-            u = fused.first_mv(Q[:, k])
+            u = fused.first_mv(Q[:, k].astype(dtype))
             w = fused.second_mv(u)
-            IMG = IMG.at[:, k].set(u if fused.img == "first" else w)
+            IMG = IMG.at[:, k].set(
+                (u if fused.img == "first" else w).astype(IMG.dtype))
             if fused.solution_from_image:
-                S = S.at[:, k].set(u)
+                S = S.at[:, k].set(u.astype(S.dtype))
             st = arnoldi_orthogonalize(Q, H, k, w, breakdown_tol)
         else:
             st = arnoldi_step(krylov_mv, Q, H, k, breakdown_tol)
@@ -295,7 +314,7 @@ def _gmres_core_deferred(fused, project_solve, solution_fn, error_fn, maxit,
 
     def body(carry, k):
         Q, H, active = carry
-        u = fused.first_mv(Q[:, k])
+        u = fused.first_mv(Q[:, k].astype(dtype))
         w = fused.second_mv(u)
         img = u if fused.img == "first" else w
         st = arnoldi_orthogonalize(Q, H, k, w, breakdown_tol)

@@ -88,6 +88,7 @@ def ab_gmres(
     x0=None,
     residual: str = "true",
     defer_histories: bool = False,
+    basis_dtype=None,
 ) -> GMRESResult:
     """AB-GMRES: Krylov space in m-space on ``M = A B``; ``x = B Q_k y``.
 
@@ -136,6 +137,7 @@ def ab_gmres(
         residual=residual,
         fused=fused,
         defer_histories=defer_histories,
+        basis_dtype=basis_dtype,
     )
 
 
@@ -154,6 +156,7 @@ def ba_gmres(
     x0=None,
     residual: str = "true",
     defer_histories: bool = False,
+    basis_dtype=None,
 ) -> GMRESResult:
     """BA-GMRES: Krylov space in n-space on ``M = B A`` with ``r0 = B b``.
 
@@ -164,6 +167,9 @@ def ba_gmres(
     run that used ``x0`` (``resume_from=``), the SAME ``x0`` must be passed
     again — the saved state stores only the Krylov factorization, not the
     offset.
+    ``basis_dtype`` (requires ``residual="fused"``): storage dtype for the
+    Krylov/image bases, e.g. ``jnp.bfloat16`` — halves their HBM traffic
+    with f32 arithmetic throughout (see ``gmres_core``).
     """
     A = as_operator(A)
     B = as_operator(B)
@@ -202,6 +208,7 @@ def ba_gmres(
         residual=residual,
         fused=fused,
         defer_histories=defer_histories,
+        basis_dtype=basis_dtype,
     )
 
 

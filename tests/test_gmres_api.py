@@ -250,3 +250,47 @@ def test_defer_histories_requires_fused():
     A, b_exact, x_true = generate_test_problem("shaw", 16)
     with _pytest.raises(ValueError):
         ba_gmres(A, A.T, b_exact, maxit=4, defer_histories=True)
+
+
+def test_basis_dtype_bf16_storage():
+    """bf16 basis storage (DESIGN §10): Q/IMG stored bfloat16, arithmetic
+    f32 — histories stay within the storage-rounding band of the f32 run,
+    resume is exact within the bf16 run, and non-fused modes reject it."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hybrid_gmres_tpu.solvers.gmres import ab_gmres, ba_gmres
+
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.standard_normal((48, 32)).astype(np.float32) * 0.1
+                    + np.eye(48, 32, dtype=np.float32))
+    B = jnp.asarray(np.asarray(A).T.copy())
+    xt = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    b = A @ xt
+
+    r32 = ba_gmres(A, B, b, xt, tol=0.0, maxit=10, lam=1e-2,
+                   residual="fused")
+    rbf = ba_gmres(A, B, b, xt, tol=0.0, maxit=10, lam=1e-2,
+                   residual="fused", basis_dtype=jnp.bfloat16)
+    assert rbf.Q.dtype == jnp.bfloat16 and rbf.IMG.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(rbf.res_hist, np.float32), np.asarray(r32.res_hist),
+        atol=5e-3, rtol=5e-3)
+
+    part = ba_gmres(A, B, b, xt, tol=0.0, maxit=5, lam=1e-2,
+                    residual="fused", basis_dtype=jnp.bfloat16)
+    resd = ba_gmres(A, B, b, xt, tol=0.0, maxit=10, lam=1e-2,
+                    residual="fused", basis_dtype=jnp.bfloat16,
+                    resume_from=part)
+    np.testing.assert_allclose(np.asarray(resd.res_hist, np.float32),
+                               np.asarray(rbf.res_hist, np.float32),
+                               rtol=2e-5)
+
+    rab = ab_gmres(A, B, b, xt, tol=0.0, maxit=10, lam=1e-2,
+                   residual="fused", basis_dtype=jnp.bfloat16)
+    assert rab.S.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(rab.err_hist, np.float32)).all()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="basis_dtype"):
+        ba_gmres(A, B, b, xt, tol=0.0, maxit=4, lam=1e-2,
+                 basis_dtype=jnp.bfloat16)
