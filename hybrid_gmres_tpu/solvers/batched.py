@@ -11,7 +11,15 @@ A plain ``jax.vmap`` over the single-RHS solver is mathematically
 identical but re-reads the operator panels once per RHS (pallas batching
 rule); this module exists to share them.  Semantics per RHS match
 ``ba_gmres``/``ab_gmres`` with ``residual="fused"`` (true residual from
-stored operator images, reference ``BAgmres_hybrid_bounds.m:24-40``).
+stored operator images, reference ``BAgmres_hybrid_bounds.m:24-40``),
+including warm starts (``x0``) and checkpoint/resume (``resume_from``) —
+the serving scenario is successive-frame reconstruction warm-started from
+the previous frame (DESIGN §13).
+
+R is auto-chunked into scans of at most ``chunk_rhs`` (default 8) RHS:
+beyond R=8 the (space, maxit+1, R) basis einsums hit VMEM pressure and
+aggregate throughput REGRESSES (measured, DESIGN §13), so one solve at
+R=16 runs as two pipelined R=8 scans sharing nothing but the operators.
 
 No reference counterpart: the reference solves one RHS per run.
 """
@@ -26,31 +34,75 @@ from hybrid_gmres_tpu.solvers.common import GMRESResult
 from hybrid_gmres_tpu.solvers.gmres import _make_project_solve
 
 
+def _pad_batched(res: GMRESResult, maxit: int):
+    """Pad a batched checkpoint's maxit axes out to a larger budget."""
+    maxit1 = res.res_hist.shape[0]
+    if maxit1 > maxit:
+        raise ValueError(f"resume needs maxit >= checkpointed {maxit1}")
+    pk = maxit - maxit1
+
+    def pad(a, axes):
+        if a is None:
+            return None
+        cfg = [(0, pk if ax in axes else 0, 0) for ax in range(a.ndim)]
+        return jax.lax.pad(a, jnp.zeros((), a.dtype), cfg)
+
+    return res._replace(
+        Q=pad(res.Q, (1,)),          # (nsp, maxit+1, R)
+        H=pad(res.H, (0, 1)),        # (maxit+1, maxit, R)
+        IMG=pad(res.IMG, (1,)),      # (m_img, maxit, R)
+        S=pad(res.S, (1,)),          # (nx, maxit, R)
+    )
+
+
 def _batched_core(first_mm, second_mm, r0, rhs, b_norm, project_solve,
-                  solution, x_true, maxit, tol, img_stage):
+                  solution, x_true, maxit, tol, img_stage,
+                  x_offset=None, resume=None):
     """Shared scan: per-RHS CGS2 Arnoldi with multi-RHS operator products.
 
     ``first_mm``/``second_mm``: the two stages of the composed Krylov
     product (BA: A then B; AB: B then A), acting on (space, R) matrices.
-    ``r0`` (space, R) starting residuals; ``rhs`` (m_img, R) the fused
-    residual target; ``img_stage``: which stage's image spans ``A x``.
-    ``solution``: "basis" (x = Q y, BA) or "image" (x = S y, AB).
+    ``r0`` (space, R) starting residuals (ignored when resuming); ``rhs``
+    (m_img, R) the fused residual target (``b - A x0`` under a warm
+    start); ``img_stage``: which stage's image spans ``A x``.
+    ``solution``: "basis" (x = x0 + Q y, BA) or "image" (x = x0 + S y,
+    AB).  ``x_offset``: (nx, R) warm-start iterate or None.
+    ``resume``: a prior batched :class:`GMRESResult` already padded to
+    ``maxit`` — the scan continues at its history length with the carried
+    per-RHS active flags (frozen RHS stay frozen, exactly as the
+    uninterrupted run's masking would leave them).
     """
     dtype = r0.dtype
     nsp, R = r0.shape
     m_img = rhs.shape[0]
+    nx = x_true.shape[0]
 
-    beta = jnp.linalg.norm(r0, axis=0)                      # (R,)
-    beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
+    if resume is None:
+        k0 = 0
+        beta = jnp.linalg.norm(r0, axis=0)                  # (R,)
+        beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
+        Q0 = jnp.zeros((nsp, maxit + 1, R), dtype).at[:, 0, :].set(
+            jnp.where(beta > 0, r0 / beta_safe, jnp.zeros_like(r0)))
+        H0 = jnp.zeros((maxit + 1, maxit, R), dtype)
+        IMG0 = jnp.zeros((m_img, maxit, R), dtype)
+        S0 = (jnp.zeros((nx, maxit, R), dtype)
+              if solution == "image" else None)
+        x0 = (jnp.zeros((nx, R), dtype) if x_offset is None
+              else jnp.asarray(x_offset, dtype))
+        active0 = beta > 0
+        niters0 = jnp.zeros((R,), jnp.int32)
+    else:
+        k0 = resume.res_hist.shape[0]  # static: the prior run's maxit
+        beta = resume.beta
+        Q0, H0, IMG0 = resume.Q, resume.H, resume.IMG
+        S0 = resume.S if solution == "image" else None
+        x0 = resume.x
+        active0 = resume.active
+        if active0 is None:
+            raise ValueError("batched resume needs the checkpointed "
+                             "per-RHS active flags (result.active)")
+        niters0 = resume.niters
     t = jnp.zeros((maxit + 1, R), dtype).at[0].set(beta)
-
-    Q0 = jnp.zeros((nsp, maxit + 1, R), dtype).at[:, 0, :].set(
-        jnp.where(beta > 0, r0 / beta_safe, jnp.zeros_like(r0)))
-    H0 = jnp.zeros((maxit + 1, maxit, R), dtype)
-    IMG0 = jnp.zeros((m_img, maxit, R), dtype)
-    S0 = (jnp.zeros((x_true.shape[0], maxit, R), dtype)
-          if solution == "image" else None)
-    x0 = jnp.zeros((x_true.shape[0], R), dtype)
 
     xt_norm = jnp.linalg.norm(x_true, axis=0)               # (R,) or scalar
 
@@ -84,6 +136,8 @@ def _batched_core(first_mm, second_mm, r0, rhs, b_norm, project_solve,
             xk = jnp.einsum("nkr,kr->nr", S, y)
         else:
             xk = jnp.einsum("nkr,kr->nr", Qn[:, :maxit, :], y)
+        if x_offset is not None:
+            xk = x_offset + xk
         res = jnp.linalg.norm(rhs - jnp.einsum("mkr,kr->mr", IMG, y),
                               axis=0) / b_norm
         err = jnp.linalg.norm(xk - x_true, axis=0) / xt_norm
@@ -98,77 +152,68 @@ def _batched_core(first_mm, second_mm, r0, rhs, b_norm, project_solve,
         active = active & ~stop
         return (Qn, Hn, x, active, niters, IMG, S), (res_rec, err_rec)
 
-    carry0 = (Q0, H0, x0, beta > 0, jnp.zeros((R,), jnp.int32), IMG0, S0)
-    (Q, H, x, _, niters, IMG, S), (res_hist, err_hist) = jax.lax.scan(
-        body, carry0, jnp.arange(maxit, dtype=jnp.int32))
-    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta,
-                       IMG=IMG, S=S)
-
-
-def ba_gmres_batched(
-    A,
-    B,
-    b,
-    x_true=None,
-    tol: float = 0.0,
-    maxit: int | None = None,
-    lam=None,
-    gcv_grid=None,
-) -> GMRESResult:
-    """Batched (hybrid) BA-GMRES over R right-hand sides.
-
-    ``b``: (m, R).  ``x_true``: optional (n, R) (or (n,) broadcast).
-    Returns a :class:`GMRESResult` with a trailing batch axis: ``x`` (n,
-    R), histories (maxit, R), ``niters`` (R,), ``Q`` (n, maxit+1, R), ``H``
-    (maxit+1, maxit, R), ``beta`` (R,).  ``lam``: None / scalar / "gcv"
-    (adaptive per RHS and per iteration)."""
-    A = as_operator(A)
-    B = as_operator(B)
-    if b.ndim != 2:
-        raise ValueError("ba_gmres_batched expects b of shape (m, R); use "
-                         "ba_gmres for a single RHS")
-    if maxit is None:
-        maxit = min(A.shape)
-    maxit = int(maxit)
-    n = A.shape[1]
-    R = b.shape[1]
-    dtype = b.dtype
-    if x_true is None:
-        xt = jnp.full((n, R), jnp.nan, dtype)
+    carry0 = (Q0, H0, x0, active0, niters0, IMG0, S0)
+    (Q, H, x, active_f, niters, IMG, S), (res_new, err_new) = jax.lax.scan(
+        body, carry0, jnp.arange(k0, maxit, dtype=jnp.int32))
+    if resume is None:
+        res_hist, err_hist = res_new, err_new
     else:
-        xt = jnp.broadcast_to(
-            jnp.asarray(x_true, dtype).reshape(n, -1), (n, R))
-
-    _ps = _make_project_solve(lam, n, gcv_grid)
-    project_solve = lambda H, t, kdim: _ps(H, None, t, kdim)
-
-    r0 = B.matmat(b)
-    b_norm = jnp.linalg.norm(b, axis=0)
-    res = _batched_core(
-        first_mm=A.matmat, second_mm=B.matmat, r0=r0, rhs=b, b_norm=b_norm,
-        project_solve=project_solve, solution="basis", x_true=xt,
-        maxit=maxit, tol=tol, img_stage="first")
-    if x_true is None:
-        res = res._replace(err_hist=jnp.full_like(res.err_hist, jnp.nan))
-    return res
+        res_hist = jnp.concatenate([resume.res_hist, res_new])
+        err_hist = jnp.concatenate([resume.err_hist, err_new])
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta,
+                       IMG=IMG, S=S, active=active_f)
 
 
-def ab_gmres_batched(
-    A,
-    B,
-    b,
-    x_true=None,
-    tol: float = 0.0,
-    maxit: int | None = None,
-    lam=None,
-    gcv_grid=None,
-) -> GMRESResult:
-    """Batched (hybrid) AB-GMRES over R right-hand sides (m-space Krylov
-    bases, solution composed from the stored ``B q_k`` images)."""
+def _chunk_slices(R, chunk_rhs):
+    if chunk_rhs is None or chunk_rhs >= R:
+        return [slice(None)]
+    c = int(chunk_rhs)
+    if c < 1:
+        raise ValueError("chunk_rhs must be >= 1")
+    return [slice(i, min(i + c, R)) for i in range(0, R, c)]
+
+
+def _concat_results(parts):
+    if len(parts) == 1:
+        return parts[0]
+
+    def cat(vals, axis):
+        return None if vals[0] is None else jnp.concatenate(vals, axis)
+
+    return GMRESResult(
+        x=cat([p.x for p in parts], 1),
+        err_hist=cat([p.err_hist for p in parts], 1),
+        res_hist=cat([p.res_hist for p in parts], 1),
+        niters=cat([p.niters for p in parts], 0),
+        Q=cat([p.Q for p in parts], 2),
+        H=cat([p.H for p in parts], 2),
+        beta=cat([p.beta for p in parts], 0),
+        IMG=cat([p.IMG for p in parts], 2),
+        S=cat([p.S for p in parts], 2),
+        active=cat([p.active for p in parts], 0),
+    )
+
+
+def _slice_result(res: GMRESResult, sl):
+    if res is None:
+        return None
+    return GMRESResult(
+        x=res.x[:, sl], err_hist=res.err_hist[:, sl],
+        res_hist=res.res_hist[:, sl], niters=res.niters[sl],
+        Q=res.Q[:, :, sl], H=res.H[:, :, sl], beta=res.beta[sl],
+        IMG=None if res.IMG is None else res.IMG[:, :, sl],
+        S=None if res.S is None else res.S[:, :, sl],
+        active=None if res.active is None else res.active[sl],
+    )
+
+
+def _batched_solver(kind, A, B, b, x_true, tol, maxit, lam, gcv_grid,
+                    x0, resume_from, chunk_rhs):
     A = as_operator(A)
     B = as_operator(B)
     if b.ndim != 2:
-        raise ValueError("ab_gmres_batched expects b of shape (m, R)")
+        raise ValueError(f"{kind}_gmres_batched expects b of shape (m, R); "
+                         f"use {kind}_gmres for a single RHS")
     if maxit is None:
         maxit = min(A.shape)
     maxit = int(maxit)
@@ -180,15 +225,97 @@ def ab_gmres_batched(
     else:
         xt = jnp.broadcast_to(
             jnp.asarray(x_true, dtype).reshape(n, -1), (n, R))
+    if x0 is not None:
+        x0 = jnp.broadcast_to(jnp.asarray(x0, dtype).reshape(n, -1), (n, R))
+    if resume_from is not None:
+        if resume_from.IMG is None or (kind == "ab" and resume_from.S is
+                                       None):
+            raise ValueError("resume_from must come from the batched "
+                             "fused solver (missing .IMG/.S)")
+        resume_from = _pad_batched(resume_from, maxit)
 
-    _ps = _make_project_solve(lam, m, gcv_grid)
+    trace_dim = n if kind == "ba" else m
+    _ps = _make_project_solve(lam, trace_dim, gcv_grid)
     project_solve = lambda H, t, kdim: _ps(H, None, t, kdim)
-
     b_norm = jnp.linalg.norm(b, axis=0)
-    res = _batched_core(
-        first_mm=B.matmat, second_mm=A.matmat, r0=b, rhs=b, b_norm=b_norm,
-        project_solve=project_solve, solution="image", x_true=xt,
-        maxit=maxit, tol=tol, img_stage="second")
+
+    parts = []
+    for sl in _chunk_slices(R, chunk_rhs):
+        b_c = b[:, sl]
+        x0_c = None if x0 is None else x0[:, sl]
+        rs_c = None if resume_from is None else _slice_result(resume_from,
+                                                              sl)
+        rhs_c = b_c if x0_c is None else b_c - A.matmat(x0_c)
+        if kind == "ba":
+            r0_c = B.matmat(rhs_c)
+            part = _batched_core(
+                first_mm=A.matmat, second_mm=B.matmat, r0=r0_c, rhs=rhs_c,
+                b_norm=b_norm[sl], project_solve=project_solve,
+                solution="basis", x_true=xt[:, sl], maxit=maxit, tol=tol,
+                img_stage="first", x_offset=x0_c, resume=rs_c)
+        else:
+            part = _batched_core(
+                first_mm=B.matmat, second_mm=A.matmat, r0=rhs_c, rhs=rhs_c,
+                b_norm=b_norm[sl], project_solve=project_solve,
+                solution="image", x_true=xt[:, sl], maxit=maxit, tol=tol,
+                img_stage="second", x_offset=x0_c, resume=rs_c)
+        parts.append(part)
+    res = _concat_results(parts)
     if x_true is None:
         res = res._replace(err_hist=jnp.full_like(res.err_hist, jnp.nan))
     return res
+
+
+def ba_gmres_batched(
+    A,
+    B,
+    b,
+    x_true=None,
+    tol: float = 0.0,
+    maxit: int | None = None,
+    lam=None,
+    gcv_grid=None,
+    x0=None,
+    resume_from: GMRESResult | None = None,
+    chunk_rhs: int | None = 8,
+) -> GMRESResult:
+    """Batched (hybrid) BA-GMRES over R right-hand sides.
+
+    ``b``: (m, R).  ``x_true``: optional (n, R) (or (n,) broadcast).
+    Returns a :class:`GMRESResult` with a trailing batch axis: ``x`` (n,
+    R), histories (maxit, R), ``niters`` (R,), ``Q`` (n, maxit+1, R), ``H``
+    (maxit+1, maxit, R), ``beta``/``active`` (R,).  ``lam``: None / scalar
+    / "gcv" (adaptive per RHS and per iteration).
+
+    ``x0``: optional (n, R) (or (n,) broadcast) warm start — per RHS
+    ``r0 = B (b - A x0)``, ``x = x0 + Q y``, matching single-RHS
+    ``ba_gmres(x0=...)``; the serving move is passing frame t-1's solution
+    as frame t's ``x0`` (measured iterations-to-quality saving in DESIGN
+    §13).  ``resume_from``: a prior result of THIS solver — continues
+    every RHS's Arnoldi recurrence exactly (pass the same ``x0``/``lam``/
+    ``chunk_rhs``).  ``chunk_rhs``: R is auto-split into scans of at most
+    this many RHS (default 8 — measured aggregate-throughput optimum;
+    None disables chunking)."""
+    return _batched_solver("ba", A, B, b, x_true, tol, maxit, lam, gcv_grid,
+                           x0, resume_from, chunk_rhs)
+
+
+def ab_gmres_batched(
+    A,
+    B,
+    b,
+    x_true=None,
+    tol: float = 0.0,
+    maxit: int | None = None,
+    lam=None,
+    gcv_grid=None,
+    x0=None,
+    resume_from: GMRESResult | None = None,
+    chunk_rhs: int | None = 8,
+) -> GMRESResult:
+    """Batched (hybrid) AB-GMRES over R right-hand sides (m-space Krylov
+    bases, solution composed from the stored ``B q_k`` images; per-RHS
+    ``r0 = b - A x0``, ``x = x0 + S y``).  See :func:`ba_gmres_batched`
+    for ``x0``/``resume_from``/``chunk_rhs``."""
+    return _batched_solver("ab", A, B, b, x_true, tol, maxit, lam, gcv_grid,
+                           x0, resume_from, chunk_rhs)

@@ -137,3 +137,81 @@ def test_batched_with_pallas_operator():
                                    np.asarray(rj.res_hist), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(r.err_hist[:, j]),
                                    np.asarray(rj.err_hist), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Warm start / resume / chunking (VERDICT r3 #2, #8)
+# ---------------------------------------------------------------------------
+
+def _serving_pair(m=48, n=32, R=5, seed=0):
+    rng = np.random.default_rng(seed)
+    A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32) * 0.1
+                    + np.eye(m, n, dtype=np.float32))
+    B = jnp.asarray(np.asarray(A).T
+                    + 1e-3 * rng.standard_normal((n, m)).astype(np.float32))
+    Xt = jnp.asarray(rng.standard_normal((n, R)).astype(np.float32))
+    X0 = jnp.asarray(rng.standard_normal((n, R)).astype(np.float32) * 0.1)
+    return A, B, A @ Xt, Xt, X0
+
+
+@pytest.mark.parametrize("kind", ["ba", "ab"])
+def test_batched_warm_start_matches_single_rhs(kind):
+    """x0 != 0 batched == per-RHS single-RHS solver with the same x0."""
+    from hybrid_gmres_tpu.solvers.gmres import ab_gmres, ba_gmres
+
+    A, B, bb, Xt, X0 = _serving_pair()
+    batched = ba_gmres_batched if kind == "ba" else ab_gmres_batched
+    single = ba_gmres if kind == "ba" else ab_gmres
+    rb = batched(A, B, bb, Xt, maxit=8, lam=1e-3, x0=X0)
+    for r in range(bb.shape[1]):
+        rs = single(A, B, bb[:, r], Xt[:, r], tol=0.0, maxit=8, lam=1e-3,
+                    x0=X0[:, r], residual="fused")
+        np.testing.assert_allclose(np.asarray(rb.res_hist[:, r]),
+                                   np.asarray(rs.res_hist), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(rb.err_hist[:, r]),
+                                   np.asarray(rs.err_hist), atol=5e-5)
+
+
+@pytest.mark.parametrize("kind", ["ba", "ab"])
+def test_batched_resume_equals_uninterrupted(kind):
+    """resume(run(5), 10) == run(10) for every RHS, including a tol stop
+    that freezes some RHS mid-history (active flags carried)."""
+    A, B, bb, Xt, X0 = _serving_pair(seed=2)
+    batched = ba_gmres_batched if kind == "ba" else ab_gmres_batched
+    kw = dict(maxit=10, lam=1e-3, tol=1e-5, x0=X0, chunk_rhs=2)
+    full = batched(A, B, bb, Xt, **kw)
+    part = batched(A, B, bb, Xt, **{**kw, "maxit": 5})
+    resd = batched(A, B, bb, Xt, **kw, resume_from=part)
+    f, r = np.asarray(full.res_hist), np.asarray(resd.res_hist)
+    assert (np.isfinite(f) == np.isfinite(r)).all()
+    np.testing.assert_allclose(r[np.isfinite(r)], f[np.isfinite(f)],
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(resd.x), np.asarray(full.x),
+                               atol=5e-5)
+
+
+def test_batched_chunking_matches_unchunked():
+    """chunk_rhs splits R into independent scans with identical numbers
+    and correctly concatenated result shapes."""
+    A, B, bb, Xt, X0 = _serving_pair(R=5)
+    n, R = Xt.shape
+    r1 = ba_gmres_batched(A, B, bb, Xt, maxit=8, lam=1e-3, x0=X0,
+                          chunk_rhs=None)
+    r2 = ba_gmres_batched(A, B, bb, Xt, maxit=8, lam=1e-3, x0=X0,
+                          chunk_rhs=2)
+    np.testing.assert_allclose(np.asarray(r2.res_hist),
+                               np.asarray(r1.res_hist), atol=1e-6)
+    assert r2.x.shape == (n, R)
+    assert r2.Q.shape[2] == R and r2.H.shape[2] == R
+    assert r2.active.shape == (R,) and r2.niters.shape == (R,)
+
+
+def test_batched_warm_start_saves_iterations():
+    """The serving win: a warm start from a nearby solution reaches the
+    quality target in fewer iterations than a cold start."""
+    A, B, bb, Xt, _ = _serving_pair(R=3, seed=4)
+    cold = ba_gmres_batched(A, B, bb, Xt, maxit=12, lam=1e-4)
+    warm = ba_gmres_batched(A, B, bb, Xt, maxit=12, lam=1e-4, x0=cold.x)
+    # the warm start begins at the cold run's final residual level
+    assert float(np.nanmax(warm.res_hist[0, :])) < \
+        float(np.nanmin(cold.res_hist[0, :]))
