@@ -276,20 +276,43 @@ def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
 # of a ShardedPanels pytree, as produced by in_specs=P(axis).
 # ---------------------------------------------------------------------------
 
-def gather_window(sp: ShardedPanels, x_loc, axis: str):
+def gather_window(sp: ShardedPanels, x_loc, axis: str, comm_dtype=None):
     """Assemble this shard's x window (win_blocks, bc) f32 from the sharded
     x (one slab per device).
 
     Windowed panels: L ppermute hops + a dynamic slice of the received
     stack (L*n/p bytes on the wire).  Full panels: one all_gather
     ((p-1)*n/p bytes).
+
+    ``comm_dtype`` (e.g. ``jnp.bfloat16``): cast the slab to a narrower
+    dtype BEFORE it crosses the wire and back to f32 after — halves the
+    dominant gather bytes of full-support operators (DESIGN §8 lever (a)).
+    The local kernels still run f32; only the exchanged basis vector is
+    rounded (~4e-3 relative, the same order as the int8 operator
+    quantization — assert a tolerance band, not bit parity).
     """
     bc = sp.block_shape[1]
     n = sp.shape[1]
     p = sp.p
     x_loc = x_loc.astype(jnp.float32)
+    if comm_dtype is not None:
+        # Move the slab as its RAW BITS: a plain astype lets XLA's
+        # simplifier reorder the convert past the collective and gather
+        # f32 anyway (verified in the optimized HLO — even through an
+        # optimization_barrier); converts cannot be folded through a
+        # bitcast, so the wire provably carries the narrow words
+        # (tests/test_parallel.py wire-dtype oracle).
+        cd = jnp.dtype(comm_dtype)
+        ui = jnp.dtype(f"uint{cd.itemsize * 8}")
+        x_loc = jax.lax.bitcast_convert_type(x_loc.astype(cd), ui)
+
+        def _unwire(a):
+            return jax.lax.bitcast_convert_type(a, cd).astype(jnp.float32)
+    else:
+        def _unwire(a):
+            return a
     if not sp.windowed:
-        x_full = jax.lax.all_gather(x_loc, axis, tiled=True)
+        x_full = _unwire(jax.lax.all_gather(x_loc, axis, tiled=True))
         n_pad = sp.ncb * bc
         x2d = jnp.zeros((n_pad,), jnp.float32).at[:n].set(x_full)
         return x2d.reshape(sp.ncb, bc)
@@ -303,7 +326,7 @@ def gather_window(sp: ShardedPanels, x_loc, axis: str):
         else:
             perm = [((j + d) % p, j) for j in range(p)]
             slabs.append(jax.lax.ppermute(x_loc, axis, perm))
-    stack = jnp.stack(slabs)                      # (L, nloc)
+    stack = _unwire(jnp.stack(slabs))             # (L, nloc)
     my = jax.lax.axis_index(axis)
     start_rel = sp.win_start.reshape(-1)[0] - my - dmin
     win = jax.lax.dynamic_slice(
@@ -411,7 +434,8 @@ def host_window_x(sp: ShardedPanels, i: int, x) -> jnp.ndarray:
 def comms_bytes_per_iteration(A_panels: ShardedPanels,
                               itemsize: int = 4,
                               kdim: int = 0,
-                              B_panels: ShardedPanels | None = None) -> dict:
+                              B_panels: ShardedPanels | None = None,
+                              comm_itemsize: int | None = None) -> dict:
     """Analytic per-iteration communication volume (bytes per device) of the
     sharded-Pallas GMRES schedule, for DESIGN.md and scaling sanity checks.
 
@@ -425,17 +449,23 @@ def comms_bytes_per_iteration(A_panels: ShardedPanels,
         ``B_panels``'s own window (L*m/p windowed, (p-1)*m/p full) and no
         reduction — more wire bytes when m >> n, traded for the faster
         forward kernel (see ``sharded_pallas._make_B_mv``).
+
+    ``comm_itemsize``: wire bytes per element of the GATHER terms when the
+    exchange runs in a narrower dtype (``comm_dtype=jnp.bfloat16`` → 2);
+    the reduce_scatter/psum terms stay at ``itemsize`` (they accumulate in
+    the working dtype).
     """
     p = A_panels.p
     n = A_panels.shape[1]
     nloc = n // p
+    g_item = itemsize if comm_itemsize is None else comm_itemsize
 
     def _gather_bytes(sp: ShardedPanels) -> int:
         xloc = sp.shape[1] // p
         if sp.windowed:
             _, L = sp.shifts
-            return L * xloc * itemsize
-        return (p - 1) * xloc * itemsize
+            return L * xloc * g_item
+        return (p - 1) * xloc * g_item
 
     gather = _gather_bytes(A_panels)
     if B_panels is None:

@@ -71,7 +71,7 @@ def _validate(A_panels: ShardedPanels, BT_panels, mesh, axis,
     return p, m, n
 
 
-def _make_B_mv(B_loc, b_forward, axis, dtype, interpret):
+def _make_B_mv(B_loc, b_forward, axis, dtype, interpret, comm_dtype=None):
     """Shard-local ``u (m-sharded) -> B u (n-sharded)`` in one of two
     layouts (DESIGN §12):
 
@@ -91,7 +91,7 @@ def _make_B_mv(B_loc, b_forward, axis, dtype, interpret):
     """
     if b_forward:
         def B_mv(u_loc):
-            u_win = gather_window(B_loc, u_loc, axis)
+            u_win = gather_window(B_loc, u_loc, axis, comm_dtype=comm_dtype)
             return local_matvec(B_loc, u_win,
                                 interpret=interpret).astype(dtype)
     else:
@@ -118,6 +118,7 @@ def ba_gmres_sharded_pallas(
     x0=None,
     resume_from: GMRESResult | None = None,
     B_panels: ShardedPanels | None = None,
+    comm_dtype=None,
 ) -> GMRESResult:
     """Fully-sharded (hybrid) BA-GMRES with Pallas local SpMV on every shard.
 
@@ -133,6 +134,10 @@ def ba_gmres_sharded_pallas(
     at the cost of gathering the m-sharded intermediate instead of
     reduce-scattering the n-vector; ``BT_panels`` may then be ``None``.
     See ``_make_B_mv`` for the trade.
+    ``comm_dtype`` (e.g. ``jnp.bfloat16``): exchange the gathered basis
+    slabs in a narrower wire dtype — halves the dominant gather bytes for
+    full-support operators (DESIGN §8 lever (a)); local compute stays
+    f32.  Expect a ~4e-3 tolerance band vs the f32-exchange run.
     ``lam``: None (non-hybrid), scalar (hybrid PTR), or "gcv" (per-iteration
     GCV-optimal lambda over ``gcv_grid``, evaluated shard-replicated with no
     extra collectives).
@@ -194,12 +199,14 @@ def ba_gmres_sharded_pallas(
 
         def A_mv(x_loc):
             """A @ x for n-sharded x: windowed gather + forward kernel."""
-            x_win = gather_window(A_loc, x_loc, axis)
+            x_win = gather_window(A_loc, x_loc, axis,
+                                  comm_dtype=comm_dtype)
             return local_matvec(A_loc, x_win, interpret=interpret
                                 ).astype(dtype)
 
         # (n/p,) slab of B @ u from the m-sharded u, forward or transposed
-        B_mv_scatter = _make_B_mv(B_loc, b_forward, axis, dtype, interpret)
+        B_mv_scatter = _make_B_mv(B_loc, b_forward, axis, dtype, interpret,
+                                  comm_dtype=comm_dtype)
 
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
@@ -322,6 +329,7 @@ def ab_gmres_sharded_pallas(
     x0=None,
     resume_from: GMRESResult | None = None,
     B_panels: ShardedPanels | None = None,
+    comm_dtype=None,
 ) -> GMRESResult:
     """Fully-sharded (hybrid) AB-GMRES: m-space Krylov basis sharded over
     rays, Pallas local SpMV (mirror of ``ABgmres_nonhybrid_bounds.m:24-37``
@@ -380,10 +388,12 @@ def ab_gmres_sharded_pallas(
         def pnorm(u_loc):
             return jnp.sqrt(pdot(u_loc, u_loc))
 
-        B_mv_scatter = _make_B_mv(B_loc, b_forward, axis, dtype, interpret)
+        B_mv_scatter = _make_B_mv(B_loc, b_forward, axis, dtype, interpret,
+                                  comm_dtype=comm_dtype)
 
         def A_mv(x_loc):
-            x_win = gather_window(A_loc, x_loc, axis)
+            x_win = gather_window(A_loc, x_loc, axis,
+                                  comm_dtype=comm_dtype)
             return local_matvec(A_loc, x_win, interpret=interpret
                                 ).astype(dtype)
 

@@ -1357,3 +1357,76 @@ def test_forward_b_layout_validation_and_comms():
     # full-gather forward panels: (p-1)*m/p bytes vs (p-1)*n/p scatter
     assert c_f["b_gather_bytes"] == (p - 1) * (m // p) * 4
     assert c_t["reduce_scatter_bytes"] == (p - 1) * (n // p) * 4
+
+
+# ---------------------------------------------------------------------------
+# bf16 wire exchange (VERDICT r3 #4, DESIGN §8 lever (a))
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("layout", ["transposed", "forward"])
+def test_comm_dtype_bf16_band(layout):
+    """comm_dtype=bfloat16 halves the gather wire bytes; the result must
+    stay within a quantization band of the f32-exchange run (bit parity is
+    EXPECTED to break — the exchanged basis slab is rounded ~4e-3)."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_pallas, shard_bucketed_panels)
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 32, seed=11)
+    mesh = make_mesh()
+    p = mesh.devices.size
+    A_panels = shard_bucketed_panels(sp.csr_matrix(Ad), p)
+    if layout == "transposed":
+        BT_panels = shard_bucketed_panels(sp.csr_matrix(Bd.T), p)
+        kw = {}
+    else:
+        BT_panels = None
+        kw = dict(B_panels=shard_bucketed_panels(sp.csr_matrix(Bd), p))
+    bj, xtj = jnp.asarray(b), jnp.asarray(x_true)
+    r32 = ba_gmres_sharded_pallas(A_panels, BT_panels, bj, xtj, tol=0.0,
+                                  maxit=6, lam=1e-3, mesh=mesh,
+                                  interpret=True, **kw)
+    rbf = ba_gmres_sharded_pallas(A_panels, BT_panels, bj, xtj, tol=0.0,
+                                  maxit=6, lam=1e-3, mesh=mesh,
+                                  interpret=True,
+                                  comm_dtype=jnp.bfloat16, **kw)
+    res32 = np.asarray(r32.res_hist)
+    resbf = np.asarray(rbf.res_hist)
+    assert np.isfinite(resbf).all()
+    # quantization band: well above roundoff, well below any real change
+    band = np.max(np.abs(resbf - res32) / np.maximum(np.abs(res32), 1e-6))
+    assert 0 < band < 3e-2, band
+
+
+def test_comm_dtype_bf16_hlo_wire_dtype():
+    """Compiler certification: with comm_dtype=bfloat16 the gather
+    collective moves 16-bit words (half the wire bytes); the
+    reduce_scatter stays f32."""
+    import re
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_pallas, shard_bucketed_panels)
+
+    Ad, Bd, b, _ = _sparse_pair(64, 32, seed=11)
+    mesh = make_mesh()
+    p = mesh.devices.size
+    A_panels = shard_bucketed_panels(sp.csr_matrix(Ad), p)
+    BT_panels = shard_bucketed_panels(sp.csr_matrix(Bd.T), p)
+
+    def hlo(comm_dtype):
+        f = jax.jit(lambda Ap, BTp, bb: ba_gmres_sharded_pallas(
+            Ap, BTp, bb, None, tol=0.0, maxit=4, lam=1e-3, mesh=mesh,
+            interpret=True, comm_dtype=comm_dtype).x)
+        return f.lower(A_panels, BT_panels, jnp.asarray(b)
+                       ).compile().as_text()
+
+    h32, hbf = hlo(None), hlo(jnp.bfloat16)
+    ag32 = re.findall(r"= (\w+)\[[^\]]*\][^=]* all-gather\(", h32)
+    agbf = re.findall(r"= (\w+)\[[^\]]*\][^=]* all-gather\(", hbf)
+    assert ag32 and agbf
+    assert all(v == "f32" for v in ag32), ag32
+    # the narrow slab rides the wire as raw 16-bit words (bitcast — a
+    # plain convert gets reordered past the collective by XLA)
+    assert all(v in ("bf16", "u16") for v in agbf), agbf
+    rsbf = re.findall(r"= (\w+)\[[^\]]*\][^=]* reduce-scatter\(", hbf)
+    assert rsbf and all(v == "f32" for v in rsbf), rsbf
