@@ -90,10 +90,17 @@ class _TransposedOperator(LinearOperator):
 
 @jax.tree_util.register_pytree_node_class
 class DenseOperator(LinearOperator):
-    """Dense matrix operator; matvec hits the MXU as a (m,n)@(n,) contraction."""
+    """Dense matrix operator; matvec hits the MXU as a (m,n)@(n,) contraction.
 
-    def __init__(self, mat):
+    ``precision``: optional ``jax.lax.Precision`` for the contractions —
+    the TPU DEFAULT f32 matmul runs in bf16 passes (~3 digits); pass
+    ``jax.lax.Precision.HIGHEST`` when the operator feeds a
+    conditioning-squaring path (e.g. RTP Gram solves) or serves as a
+    numerical reference against f64/CPU truth."""
+
+    def __init__(self, mat, precision=None):
         self.mat = mat
+        self.precision = precision
 
     @property
     def shape(self):
@@ -104,26 +111,26 @@ class DenseOperator(LinearOperator):
         return self.mat.dtype
 
     def matvec(self, v):
-        return self.mat @ v
+        return jnp.matmul(self.mat, v, precision=self.precision)
 
     def rmatvec(self, u):
-        return self.mat.T @ u
+        return jnp.matmul(self.mat.T, u, precision=self.precision)
 
     def matmat(self, X):
-        return self.mat @ X
+        return jnp.matmul(self.mat, X, precision=self.precision)
 
     def rmatmat(self, U):
-        return self.mat.T @ U
+        return jnp.matmul(self.mat.T, U, precision=self.precision)
 
     def todense(self):
         return self.mat
 
     def tree_flatten(self):
-        return (self.mat,), None
+        return (self.mat,), self.precision
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0])
+        return cls(children[0], precision=aux)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -101,9 +101,15 @@ def _rtp_core(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam, mesh,
             w_loc = B_mv_scatter(img_loc) + lam_c * Q[:, k]
             if kind == "ab":
                 # one fused psum carries the new Gram column AND the rhs
-                # entry: [IMG^T img_k ; img_k . b]
+                # entry: [IMG^T img_k ; img_k . b].  HIGHEST precision on
+                # the local products: the Gram solve squares the
+                # conditioning, and the TPU default f32 matmul (bf16
+                # passes) was measured to cost ~1e-2 late-history drift
+                # vs the recomputed dense Gram (VERDICT r3 #7)
+                hi = jax.lax.Precision.HIGHEST
                 loc = jnp.concatenate(
-                    [IMG_n.T @ img_loc, jnp.dot(img_loc, b_loc)[None]])
+                    [jnp.matmul(IMG_n.T, img_loc, precision=hi),
+                     jnp.dot(img_loc, b_loc, precision=hi)[None]])
                 red = jax.lax.psum(loc, axis)
                 col, rhs_k = red[:maxit], red[maxit]
                 G_n = G.at[:, k].set(col).at[k, :].set(col)

@@ -99,8 +99,12 @@ def ab_gmres_rtp(
         mask = (idx < kdim).astype(Q.dtype)
         Qa = Q[:, :maxit] * mask[None, :]
         AQ = A_cols(Qa)  # (m, maxit), cols >= kdim exactly zero
-        G = AQ.T @ AQ
-        rhs = AQ.T @ b
+        # HIGHEST: the Gram normal equations square the conditioning
+        # (hybrid_ab_gmres_rtp.m:31-33) — the TPU's default f32 matmul
+        # (bf16 passes) costs ~3 digits in G that the solve amplifies
+        hi = jax.lax.Precision.HIGHEST
+        G = jnp.matmul(AQ.T, AQ, precision=hi)
+        rhs = jnp.matmul(AQ.T, b, precision=hi)
         return projected_gram_tikhonov_solve(G, rhs, lam, kdim)
 
     r0 = B.matvec(b)
