@@ -36,6 +36,7 @@ DRIVERS = [
     "noise_sweep",
     "mismatch_sweep",
     "phantom2d",
+    "phantom2d_tpu",
 ]
 
 # results.json keys kept short and stable (RESULTS.md references them).
@@ -101,6 +102,8 @@ def _extras(name, mod, res):
         return out
     if name == "phantom2d":
         return {k: _last_finite(h) for k, h in res.err_hists.items()}
+    if name == "phantom2d_tpu":
+        return {"backend": res.backend}
     return {}
 
 

@@ -148,3 +148,21 @@ def test_results_json_has_no_stale_keys():
         results = json.load(f)
     known = {_JSON_KEY.get(n, n) for n in DRIVERS}
     assert set(results) <= known, set(results) - known
+
+
+def test_phantom2d_tpu_cpu_fallback():
+    """The TPU-tier phantom driver (VERDICT r3 #9) degrades to a small
+    dense configuration off-chip: finite quality numbers, the serving
+    warm start beats cold to the gate, and figures render."""
+    import tempfile
+
+    from hybrid_gmres_tpu.experiments import phantom2d_tpu
+
+    res = phantom2d_tpu.run()
+    assert res.backend == "cpu" and res.cfg.n == 32
+    assert np.isfinite(res.min_err)
+    assert res.warm_iters_to_gate >= 1
+    assert res.warm_iters_to_gate <= res.cold_iters_to_gate
+    with tempfile.TemporaryDirectory() as d:
+        paths = phantom2d_tpu.figures(res, d)
+    assert len(paths) == 2
