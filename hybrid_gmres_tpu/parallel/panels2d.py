@@ -279,21 +279,31 @@ def comms_bytes_per_iteration_2d(A_tiles: TiledPanels,
                                  kdim: int = 0) -> dict:
     """Analytic per-iteration bytes per device of the 2-D BA schedule
     (ring all-reduce ~= 2 (p-1)/p bytes/elem): O(m/pr + n/pc), falling in
-    BOTH mesh dimensions — the DESIGN §7 2-D row."""
+    BOTH mesh dimensions — the DESIGN §7 2-D row.
+
+    Scalar reductions are priced PER AXIS (ADVICE r3): the loop body
+    issues 2 col-axis scalar psums (hnorm, err) and 1 row-axis psum (the
+    m-space residual norm via ``pdot_m``) — a single shared ring factor
+    would mis-count them on non-square meshes.
+    """
     m, n = A_tiles.shape
     pr, pc = A_tiles.pr, A_tiles.pc
     red_m = 2.0 * (pc - 1) / pc * (m // pr) * itemsize
     red_n = 2.0 * (pr - 1) / pr * (n // pc) * itemsize
-    allred_ac = 2.0 * (pc - 1) / pc * itemsize
-    cgs2 = 2 * (kdim + 1) * allred_ac
-    scalars = 4 * allred_ac
+    allred_ac = 2.0 * (pc - 1) / pc * itemsize   # col-axis ring factor
+    allred_ar = 2.0 * (pr - 1) / pr * itemsize   # row-axis ring factor
+    cgs2 = 2 * (kdim + 1) * allred_ac            # CGS2 rides the col axis
+    scalars_ac = 2 * allred_ac                   # hnorm, err_k
+    scalars_ar = 1 * allred_ar                   # res_k (m-space)
     return {
         "pr": pr, "pc": pc,
         "A_reduce_bytes": red_m,
         "B_reduce_bytes": red_n,
         "cgs2_bytes": cgs2,
-        "scalar_bytes": scalars,
-        "total_bytes": red_m + red_n + cgs2 + scalars,
+        "scalar_bytes_col_axis": scalars_ac,
+        "scalar_bytes_row_axis": scalars_ar,
+        "scalar_bytes": scalars_ac + scalars_ar,
+        "total_bytes": red_m + red_n + cgs2 + scalars_ac + scalars_ar,
     }
 
 

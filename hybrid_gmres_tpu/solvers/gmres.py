@@ -216,7 +216,13 @@ def _restarted(run_cycle, max_restarts, tol) -> GMRESResult:
     """Outer restart loop shared by the single-chip AND sharded restarted
     wrappers: chain ``x0``, concatenate histories so the combined result
     reads like one long run.  ``run_cycle(x0)`` executes one warm-started
-    cycle (all other solver arguments pre-bound by the caller)."""
+    cycle (all other solver arguments pre-bound by the caller).
+
+    The returned result is NOT resumable (``niters`` counts all
+    cycles but ``Q``/``H`` hold only the last cycle's
+    factorization); the resume paths reject it when ``niters``
+    exceeds the cycle budget.  To continue, start a fresh
+    (restarted) solve warm-started from ``.x``."""
     import numpy as np
 
     x0 = None

@@ -37,8 +37,19 @@ def save_state(path: str, result: GMRESResult) -> None:
 
 
 def load_state(path: str) -> GMRESResult:
+    """Load a saved solver state.
+
+    Legacy checkpoints (saved before the ``active`` flag existed) resume
+    through a heuristic: ``active = (niters == len(res_hist))``, i.e. a run
+    that filled its whole budget is assumed still active.  That heuristic
+    CANNOT distinguish a run that stopped (tol/breakdown) exactly on its
+    final budgeted iteration — such a checkpoint silently resumes ACTIVE
+    and records iterations the uninterrupted run would not have.  A
+    ``UserWarning`` is emitted for exactly that ambiguous case; re-save
+    with the current version (which stores ``active``) to silence it.
+    """
     z = np.load(path)
-    return GMRESResult(
+    out = GMRESResult(
         x=jnp.asarray(z["x"]),
         err_hist=jnp.asarray(z["err_hist"]),
         res_hist=jnp.asarray(z["res_hist"]),
@@ -50,6 +61,16 @@ def load_state(path: str) -> GMRESResult:
         S=jnp.asarray(z["S"]) if "S" in z.files else None,
         active=(jnp.asarray(z["active"]) if "active" in z.files else None),
     )
+    if "active" not in z.files and int(z["niters"]) == len(z["res_hist"]):
+        import warnings
+
+        warnings.warn(
+            "legacy checkpoint without an 'active' flag whose niters equals "
+            "its budget: resume will assume the run was still ACTIVE, which "
+            "is wrong if it stopped (tol/breakdown) exactly on its final "
+            "iteration — re-save with the current version to disambiguate",
+            UserWarning, stacklevel=2)
+    return out
 
 
 def pad_state(result: GMRESResult, maxit: int) -> GMRESResult:
