@@ -271,3 +271,61 @@ def test_rtp_sharded_1dev_mosaic_matches_single(onedev_problem):
     np.testing.assert_allclose(np.asarray(r.err_hist),
                                np.asarray(rd.err_hist), rtol=2e-4,
                                atol=1e-6)
+
+
+def test_forward_b_layout_1dev_mosaic_matches_dense(onedev_problem):
+    """Round-4 forward-layout back-projector (the per-shard-gap fix,
+    DESIGN §12) under real Mosaic on a 1-device mesh == the single-chip
+    dense solver; the bf16 wire option compiles and stays in its band."""
+    from hybrid_gmres_tpu.ops.linear_operator import DenseOperator
+    from hybrid_gmres_tpu.parallel.mesh import make_mesh
+    from hybrid_gmres_tpu.parallel.panels import shard_bucketed_panels
+    from hybrid_gmres_tpu.parallel.sharded_pallas import (
+        ba_gmres_sharded_pallas)
+    from hybrid_gmres_tpu.solvers.gmres import ba_gmres
+
+    A, B, x_true, b, A_p, _ = onedev_problem
+    B_p = shard_bucketed_panels(B, 1)
+    mesh = make_mesh(1)
+    r = ba_gmres_sharded_pallas(A_p, None, b, jnp.asarray(x_true), tol=0.0,
+                                maxit=10, lam=1e-3, mesh=mesh,
+                                interpret=False, B_panels=B_p)
+    rd = ba_gmres(DenseOperator(jnp.asarray(A.toarray())),
+                  DenseOperator(jnp.asarray(B.toarray())), b,
+                  jnp.asarray(x_true), tol=0.0, maxit=10, lam=1e-3)
+    np.testing.assert_allclose(np.asarray(r.err_hist),
+                               np.asarray(rd.err_hist), rtol=1e-4,
+                               atol=1e-6)
+
+    # bf16 wire exchange under Mosaic: collectives are degenerate at p=1
+    # but the bitcast/round-trip path must lower and stay in the
+    # quantization band
+    rbf = ba_gmres_sharded_pallas(A_p, None, b, jnp.asarray(x_true),
+                                  tol=0.0, maxit=10, lam=1e-3, mesh=mesh,
+                                  interpret=False, B_panels=B_p,
+                                  comm_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(rbf.err_hist),
+                               np.asarray(rd.err_hist), rtol=3e-2,
+                               atol=1e-5)
+
+
+def test_batched_warm_start_on_chip(onedev_problem):
+    """Serving warm start through the multi-RHS SpMM kernels on the real
+    chip: frame 2 warm-started from frame 1's solution starts at frame
+    1's converged residual level."""
+    from hybrid_gmres_tpu.ops.spmv_pallas import PallasBSROperator
+    from hybrid_gmres_tpu.solvers.batched import ba_gmres_batched
+
+    A, B, x_true, b, _, _ = onedev_problem
+    A_op = PallasBSROperator.from_csr(A)
+    B_op = PallasBSROperator.from_csr(B)
+    R = 4
+    bb = jnp.stack([b] * R, axis=1)
+    xt = jnp.asarray(np.stack([x_true] * R, axis=1))
+    cold = ba_gmres_batched(A_op, B_op, bb, xt, maxit=8, lam=1e-3)
+    warm = ba_gmres_batched(A_op, B_op, bb, xt, maxit=8, lam=1e-3,
+                            x0=cold.x)
+    c = np.asarray(cold.res_hist)
+    w = np.asarray(warm.res_hist)
+    assert np.isfinite(w).all()
+    assert float(np.max(w[0])) < float(np.min(c[0]))
