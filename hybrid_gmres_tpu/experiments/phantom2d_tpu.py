@@ -155,10 +155,13 @@ def run(cfg: Config | None = None) -> Results:
         return int(np.argmax(hit) + 1) if hit.any() else -1
 
     cold_k = iters_to_gate(batched_err[:, 0], gate)
-    # serving flow: the PREVIOUS frame stops at the gate (semi-convergent
-    # solvers must not run past it — the final maxit iterate is the
-    # over-fitted one); its solution seeds the next frame
-    k_stop = max(cold_k, 1)
+    # serving flow: the PREVIOUS frame (b, seed 0) stops at ITS OWN gate
+    # crossing (semi-convergent solvers must not run past it — the final
+    # maxit iterate is the over-fitted one); its solution seeds the next
+    # frames.  On the TPU scenario the gate is asserted reachable below;
+    # the CPU fallback clamps to 1 if its smaller problem never crosses.
+    k_prev = iters_to_gate(err_hist, gate)
+    k_stop = max(k_prev, 1)
 
     @jax.jit
     def _stop_solve(A, B, bb, x):

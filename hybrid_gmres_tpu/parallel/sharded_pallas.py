@@ -174,13 +174,10 @@ def ba_gmres_sharded_pallas(
         # Mirror gmres_core: continue from the last ADOPTED iteration, not
         # the old maxit — resuming a tol-stopped/broken-down run must not
         # scan over zero Krylov columns (self-review r3).
+        from hybrid_gmres_tpu.utils.checkpoint import check_resumable
+
+        check_resumable(resume_from)
         k0 = int(resume_from.niters)
-        if k0 > resume_from.H.shape[1]:
-            raise ValueError(
-                f"resume_from.niters={k0} exceeds its checkpointed budget "
-                f"{resume_from.H.shape[1]} — restarted results hold only "
-                "the last cycle's factorization and are not resumable; "
-                "warm-start a new solve from .x instead")
         if k0 >= maxit:
             raise ValueError(f"resume needs maxit > {k0}")
         # exhausted-budget runs resume active; stopped runs (tol/breakdown)
@@ -374,13 +371,10 @@ def ab_gmres_sharded_pallas(
         if resume_from.IMG is None or resume_from.S is None:
             raise ValueError("resume_from must come from "
                              "ab_gmres_sharded_pallas (missing .IMG/.S)")
+        from hybrid_gmres_tpu.utils.checkpoint import check_resumable
+
+        check_resumable(resume_from)
         k0 = int(resume_from.niters)
-        if k0 > resume_from.H.shape[1]:
-            raise ValueError(
-                f"resume_from.niters={k0} exceeds its checkpointed budget "
-                f"{resume_from.H.shape[1]} — restarted results hold only "
-                "the last cycle's factorization and are not resumable; "
-                "warm-start a new solve from .x instead")
         if k0 >= maxit:
             raise ValueError(f"resume needs maxit > {k0}")
         resumed_active = (bool(resume_from.active)

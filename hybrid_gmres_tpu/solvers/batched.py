@@ -62,7 +62,8 @@ def _batched_core(first_mm, second_mm, r0, rhs, b_norm, project_solve,
 
     ``first_mm``/``second_mm``: the two stages of the composed Krylov
     product (BA: A then B; AB: B then A), acting on (space, R) matrices.
-    ``r0`` (space, R) starting residuals (ignored when resuming); ``rhs``
+    ``r0`` (space, R) starting residuals (``None`` when resuming — the
+    carried state supplies shapes and beta); ``rhs``
     (m_img, R) the fused residual target (``b - A x0`` under a warm
     start); ``img_stage``: which stage's image spans ``A x``.
     ``solution``: "basis" (x = x0 + Q y, BA) or "image" (x = x0 + S y,
@@ -72,10 +73,13 @@ def _batched_core(first_mm, second_mm, r0, rhs, b_norm, project_solve,
     per-RHS active flags (frozen RHS stay frozen, exactly as the
     uninterrupted run's masking would leave them).
     """
-    dtype = r0.dtype
-    nsp, R = r0.shape
+    dtype = rhs.dtype
     m_img = rhs.shape[0]
     nx = x_true.shape[0]
+    if resume is None:
+        nsp, R = r0.shape
+    else:
+        nsp, R = resume.Q.shape[0], resume.Q.shape[2]
 
     if resume is None:
         k0 = 0
@@ -247,7 +251,9 @@ def _batched_solver(kind, A, B, b, x_true, tol, maxit, lam, gcv_grid,
                                                               sl)
         rhs_c = b_c if x0_c is None else b_c - A.matmat(x0_c)
         if kind == "ba":
-            r0_c = B.matmat(rhs_c)
+            # r0 only seeds a COLD start; on resume the SpMM would be
+            # dead compute outside jit
+            r0_c = None if rs_c is not None else B.matmat(rhs_c)
             part = _batched_core(
                 first_mm=A.matmat, second_mm=B.matmat, r0=r0_c, rhs=rhs_c,
                 b_norm=b_norm[sl], project_solve=project_solve,

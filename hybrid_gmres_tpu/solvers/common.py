@@ -200,17 +200,11 @@ def gmres_core(
         # (utils/checkpoint.py): identical numbers to an uninterrupted run.
         from hybrid_gmres_tpu.utils.checkpoint import pad_state
 
+        from hybrid_gmres_tpu.utils.checkpoint import check_resumable
+
+        check_resumable(resume_from)
         rs = pad_state(resume_from, maxit)
         k0 = int(resume_from.niters)
-        if k0 > resume_from.H.shape[1]:
-            # a _restarted aggregate: niters counts ALL cycles but Q/H hold
-            # only the last cycle's factorization — resuming from it would
-            # silently produce a wrong continuation (ADVICE r3)
-            raise ValueError(
-                f"resume_from.niters={k0} exceeds its checkpointed budget "
-                f"{resume_from.H.shape[1]} — this is a restarted result, "
-                "which holds only the last cycle's factorization and is "
-                "not resumable; warm-start a new solve from its .x instead")
         beta = rs.beta
         Q0, H0, x0 = rs.Q.astype(bdt), rs.H, rs.x
         prior_res, prior_err = rs.res_hist, rs.err_hist

@@ -252,6 +252,10 @@ def _restarted(run_cycle, max_restarts, tol) -> GMRESResult:
         Q=last.Q,
         H=last.H,
         beta=last.beta,
+        # last cycle's stop state: keeps saved restarted results out of the
+        # legacy-checkpoint ambiguity (and resume of a >1-cycle aggregate
+        # is rejected by check_resumable regardless)
+        active=last.active,
     )
 
 

@@ -20,7 +20,8 @@ def save_state(path: str, result: GMRESResult) -> None:
         x=np.asarray(result.x),
         err_hist=np.asarray(result.err_hist),
         res_hist=np.asarray(result.res_hist),
-        niters=int(result.niters),
+        # scalar for single-RHS runs, (R,) for batched results
+        niters=np.asarray(result.niters, dtype=np.int32),
         Q=np.asarray(result.Q),
         H=np.asarray(result.H),
         beta=np.asarray(result.beta),
@@ -53,7 +54,7 @@ def load_state(path: str) -> GMRESResult:
         x=jnp.asarray(z["x"]),
         err_hist=jnp.asarray(z["err_hist"]),
         res_hist=jnp.asarray(z["res_hist"]),
-        niters=jnp.int32(int(z["niters"])),
+        niters=jnp.asarray(z["niters"], dtype=jnp.int32),
         Q=jnp.asarray(z["Q"]),
         H=jnp.asarray(z["H"]),
         beta=jnp.asarray(z["beta"]),
@@ -61,7 +62,9 @@ def load_state(path: str) -> GMRESResult:
         S=jnp.asarray(z["S"]) if "S" in z.files else None,
         active=(jnp.asarray(z["active"]) if "active" in z.files else None),
     )
-    if "active" not in z.files and int(z["niters"]) == len(z["res_hist"]):
+    ni = np.asarray(z["niters"])
+    if "active" not in z.files and ni.ndim == 0 and \
+            int(ni) == len(z["res_hist"]):
         import warnings
 
         warnings.warn(
@@ -71,6 +74,19 @@ def load_state(path: str) -> GMRESResult:
             "iteration — re-save with the current version to disambiguate",
             UserWarning, stacklevel=2)
     return out
+
+
+def check_resumable(resume_from: GMRESResult) -> None:
+    """Reject restarted aggregates: their ``niters`` counts ALL cycles but
+    ``Q``/``H`` hold only the last cycle's factorization, so resuming from
+    one would silently produce a wrong continuation (ADVICE r3)."""
+    k0 = int(resume_from.niters)
+    if k0 > resume_from.H.shape[1]:
+        raise ValueError(
+            f"resume_from.niters={k0} exceeds its checkpointed budget "
+            f"{resume_from.H.shape[1]} — this is a restarted result, which "
+            "holds only the last cycle's factorization and is not "
+            "resumable; warm-start a new solve from its .x instead")
 
 
 def pad_state(result: GMRESResult, maxit: int) -> GMRESResult:

@@ -33,7 +33,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--maxit", type=int, default=100)
     ap.add_argument("--dtype", default="int8")
-    ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=16)
     args = ap.parse_args()
 
     import numpy as np
@@ -73,14 +73,16 @@ def main():
 
     def slope_us(build):
         """us/iter from the R=1 vs R=3 repeat slope (dispatch cancels,
-        shapes stay at the true bench maxit)."""
+        shapes stay at the true bench maxit).  The operators ride as jit
+        ARGUMENTS — closing over the ~60MB panels would inline them into
+        the axon remote-compile payload (CLAUDE.md)."""
         core = build(args.maxit)
 
         def rep(nrep):
             @jax.jit
-            def run(b_):
+            def run(A, B, b_):
                 def outer(bb, _):
-                    r = core(bb)
+                    r = core(A, B, bb)
                     # (1 + 1e-30*sum) is exactly 1.0f but not foldable:
                     # chains the carry so the repeats stay sequential
                     return bb * (1.0 + 1e-30 * jnp.sum(r)), ()
@@ -88,13 +90,29 @@ def main():
                 return bb
             return run
 
-        t1 = timeit(rep(1), b)
-        t3 = timeit(rep(3), b)
+        # INTERLEAVED timing: tunnel slowdowns lasting several calls would
+        # otherwise bias one side of the slope even under min-of-N
+        f1, f3 = rep(1), rep(3)
+        for f in (f1, f3):
+            out = f(A_op, B_op, b)
+            jax.block_until_ready(out)
+            float(jnp.sum(out))
+        ts1, ts3 = [], []
+        for _ in range(args.repeats):
+            for f, ts in ((f1, ts1), (f3, ts3)):
+                t0 = time.time()
+                out = f(A_op, B_op, b)
+                jax.block_until_ready(out)
+                float(jnp.sum(out))
+                ts.append(time.time() - t0)
+        t1, t3 = min(ts1), min(ts3)
+        print(f"    raw mins: t1={t1*1e3:.1f}ms t3={t3*1e3:.1f}ms",
+              file=sys.stderr)
         return (t3 - t1) / 2 / args.maxit * 1e6
 
     # --- variant builders (custom scans mirroring the gmres_core body) ---
     def build_spmv(maxit):
-        def run(b_):
+        def run(A_op, B_op, b_):
             r0 = B_op.matvec(b_)
             q0 = r0 / jnp.linalg.norm(r0)
 
@@ -108,7 +126,7 @@ def main():
         return run
 
     def build_cgs2(maxit):
-        def run(b_):
+        def run(A_op, B_op, b_):
             r0 = B_op.matvec(b_)
             beta = jnp.linalg.norm(r0)
             Q0 = jnp.zeros((n, maxit + 1), jnp.float32).at[:, 0].set(
@@ -134,7 +152,7 @@ def main():
     def build_solve(maxit):
         _ps = _make_project_solve(lam, n, None)
 
-        def run(b_):
+        def run(A_op, B_op, b_):
             r0 = B_op.matvec(b_)
             beta = jnp.linalg.norm(r0)
             Q0 = jnp.zeros((n, maxit + 1), jnp.float32).at[:, 0].set(
@@ -163,7 +181,7 @@ def main():
         return run
 
     def build_full(maxit, **kw):
-        def run(b_):
+        def run(A_op, B_op, b_):
             r = ba_gmres(A_op, B_op, b_, xt, tol=0.0, maxit=maxit, lam=lam,
                          residual="fused", **kw)
             return r.x
@@ -187,6 +205,9 @@ def main():
         print("basis_dtype not supported by ba_gmres (lever not built)",
               file=sys.stderr)
 
+    print("NOTE: slope noise through the tunnel is ~+-10 us/iter; the "
+          "sub-20 us deltas (CGS2/solve) need a quiet tunnel window — "
+          "cross-check the raw mins on stderr", file=sys.stderr)
     print(f"{'variant':36s} {'us/iter':>9s} {'delta':>9s}")
     for name, v, d in rows:
         print(f"{name:36s} {v:9.1f} {d:+9.1f}")

@@ -215,3 +215,22 @@ def test_batched_warm_start_saves_iterations():
     # the warm start begins at the cold run's final residual level
     assert float(np.nanmax(warm.res_hist[0, :])) < \
         float(np.nanmin(cold.res_hist[0, :]))
+
+
+def test_batched_checkpoint_roundtrip(tmp_path):
+    """save_state/load_state handle the batched (R,) niters/beta/active and
+    the loaded checkpoint resumes identically (the serving persistence
+    flow)."""
+    from hybrid_gmres_tpu.utils.checkpoint import load_state, save_state
+
+    A, B, bb, Xt, X0 = _serving_pair(seed=7)
+    part = ba_gmres_batched(A, B, bb, Xt, maxit=4, lam=1e-3, x0=X0)
+    path = str(tmp_path / "batched.npz")
+    save_state(path, part)
+    loaded = load_state(path)
+    assert loaded.niters.shape == part.niters.shape
+    full = ba_gmres_batched(A, B, bb, Xt, maxit=8, lam=1e-3, x0=X0)
+    resd = ba_gmres_batched(A, B, bb, Xt, maxit=8, lam=1e-3, x0=X0,
+                            resume_from=loaded)
+    np.testing.assert_allclose(np.asarray(resd.res_hist),
+                               np.asarray(full.res_hist), atol=5e-5)
