@@ -152,22 +152,22 @@ def main():
                 return cb
             return run
 
-        def _timed_rep(f):
+        # interleaved R=1/R=3 sampling: a tunnel slowdown spanning several
+        # calls would otherwise bias one side of the slope even under min
+        f1, f3 = _rep(1), _rep(3)
+        for f in (f1, f3):
             out = f(A_op, B_op, b, x_true)
             jax.block_until_ready(out)
             float(jnp.sum(out))
-            ts = []
-            for _ in range(5):
+        ts1, ts3 = [], []
+        for _ in range(5):
+            for f, ts in ((f1, ts1), (f3, ts3)):
                 t0 = time.time()
                 out = f(A_op, B_op, b, x_true)
                 jax.block_until_ready(out)
+                float(jnp.sum(out))
                 ts.append(time.time() - t0)
-            float(jnp.sum(out))
-            return min(ts)
-
-        t1 = _timed_rep(_rep(1))
-        t3 = _timed_rep(_rep(3))
-        slope = (t3 - t1) / 2 / maxit * 1e6
+        slope = (min(ts3) - min(ts1)) / 2 / maxit * 1e6
         if slope > 0:
             device_us_per_iter = slope
             print(f"[bench] device-only: {device_us_per_iter:.1f} us/iter "

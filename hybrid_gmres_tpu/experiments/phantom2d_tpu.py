@@ -23,6 +23,7 @@ reference is specific to the TPU-scale scenario).
 from __future__ import annotations
 
 import time
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Dict
 
@@ -79,14 +80,17 @@ def _noise(b_exact, level, seed):
 
 
 def run(cfg: Config | None = None) -> Results:
+    caller_cfg = cfg is not None
     cfg = cfg or Config()
     on_tpu = jax.default_backend() not in ("cpu",)
     if not on_tpu:
-        # reduced dense fallback (no Mosaic off-chip; interpret mode at
-        # n=64 would crawl) — keeps the driver testable in the CPU suite
-        cfg = Config(n=32, n_angles=90, n_det=90, maxit=40, R=2,
-                     noise_level=cfg.noise_level, lam=cfg.lam,
-                     seed=cfg.seed)
+        # Off-chip the operators are dense f32 (no Mosaic; interpret mode
+        # at n=64 would crawl).  Only the DEFAULT configuration is shrunk
+        # to keep the CPU suite fast — an explicit caller Config is
+        # honored as given.
+        if not caller_cfg:
+            cfg = Config(n=32, n_angles=90, n_det=90, maxit=40, R=2)
+        cfg = dataclasses.replace(cfg, dtype="dense-f32")
 
     prob = ct_mismatched(n=cfg.n, n_angles=cfg.n_angles, n_det=cfg.n_det,
                          dense=not on_tpu)
@@ -144,8 +148,13 @@ def run(cfg: Config | None = None) -> Results:
         return ba_gmres_batched(A, B, bb, x, tol=0.0, maxit=cfg.maxit,
                                 lam=cfg.lam, x0=x0)
 
-    zero0 = jnp.zeros((xt.shape[0], cfg.R), jnp.float32)
-    rb = _batched(A_op, B_op, b_batch, xt, zero0)
+    @jax.jit
+    def _batched_cold(A, B, bb, x):
+        # x0=None skips the rhs = b - A@0 SpMM a zero x0 would force
+        return ba_gmres_batched(A, B, bb, x, tol=0.0, maxit=cfg.maxit,
+                                lam=cfg.lam)
+
+    rb = _batched_cold(A_op, B_op, b_batch, xt)
     jax.block_until_ready(rb.x)
     batched_err = np.asarray(rb.err_hist)
     batched_worst = float(np.nanmax(np.nanmin(batched_err, axis=0)))
@@ -176,13 +185,17 @@ def run(cfg: Config | None = None) -> Results:
     warm_k = iters_to_gate(np.asarray(rw.err_hist)[:, 0], gate)
 
     if on_tpu:
-        # quality gate, asserted — the flagship scenario must reconstruct
-        assert np.isfinite(min_err) and min_err <= gate, (
-            f"TPU phantom quality gate failed: {min_err:.4f} > {gate:.4f}")
-        assert batched_worst <= gate, (
-            f"batched frame quality gate failed: {batched_worst:.4f}")
-    else:
-        assert np.isfinite(min_err)
+        # quality gate — explicit raise (a bare assert vanishes under -O,
+        # and this is the experiment's stated contract)
+        if not (np.isfinite(min_err) and min_err <= gate):
+            raise RuntimeError(
+                f"TPU phantom quality gate failed: {min_err:.4f} > "
+                f"{gate:.4f}")
+        if batched_worst > gate:
+            raise RuntimeError(
+                f"batched frame quality gate failed: {batched_worst:.4f}")
+    elif not np.isfinite(min_err):
+        raise RuntimeError("CPU fallback produced a non-finite error")
 
     return Results(
         cfg=cfg, backend=jax.default_backend(), min_err=min_err,

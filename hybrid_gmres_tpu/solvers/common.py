@@ -198,9 +198,8 @@ def gmres_core(
     if resume_from is not None:
         # Continue the Arnoldi recurrence from a saved factorization
         # (utils/checkpoint.py): identical numbers to an uninterrupted run.
-        from hybrid_gmres_tpu.utils.checkpoint import pad_state
-
-        from hybrid_gmres_tpu.utils.checkpoint import check_resumable
+        from hybrid_gmres_tpu.utils.checkpoint import (check_resumable,
+                                                        pad_state)
 
         check_resumable(resume_from)
         rs = pad_state(resume_from, maxit)
@@ -223,7 +222,7 @@ def gmres_core(
     if defer_histories:
         return _gmres_core_deferred(
             fused, project_solve, solution_fn, error_fn, maxit, tol,
-            x_shape, breakdown_tol, Q0, H0, t, beta, dtype)
+            x_shape, breakdown_tol, Q0, H0, t, beta, dtype, bdt)
 
     if residual == "fused":
         if resume_from is not None:
@@ -311,9 +310,15 @@ def gmres_core(
 
 
 def _gmres_core_deferred(fused, project_solve, solution_fn, error_fn, maxit,
-                         tol, x_shape, breakdown_tol, Q0, H0, t, beta, dtype):
+                         tol, x_shape, breakdown_tol, Q0, H0, t, beta, dtype,
+                         bdt=None):
     """Deferred-histories fused GMRES: Arnoldi-only scan, then batched
-    projected solves and matmul-shaped histories (see ``gmres_core``)."""
+    projected solves and matmul-shaped histories (see ``gmres_core``).
+    ``bdt``: storage dtype for the stacked image/solution rows (the
+    ``basis_dtype`` option — keeps the deferred mode's IMG/S consistent
+    with the in-scan mode's)."""
+    if bdt is None:
+        bdt = dtype
 
     def body(carry, k):
         Q, H, active = carry
@@ -324,8 +329,8 @@ def _gmres_core_deferred(fused, project_solve, solution_fn, error_fn, maxit,
         Qn = jax.lax.select(active, st.Q, Q)
         Hn = jax.lax.select(active, st.H, H)
         zero = jnp.zeros((), dtype)
-        img_rec = jnp.where(active, img, zero)
-        s_rec = (jnp.where(active, u, zero)
+        img_rec = jnp.where(active, img, zero).astype(bdt)
+        s_rec = (jnp.where(active, u, zero).astype(bdt)
                  if fused.solution_from_image else None)
         ok = active
         active = active & ~st.breakdown

@@ -108,8 +108,13 @@ def main():
         # frame-1 solution at its semi-convergence minimum (per RHS)
         errs1 = np.asarray(rb.err_hist)
         # x at min is not stored per-k; serving would stop at the gate —
-        # rerun frame 1 with maxit at the (max) gate-crossing iteration
-        k_gate1 = int(np.max(np.argmax(errs1 <= gate, axis=0))) + 1
+        # rerun frame 1 with maxit at the (max) gate-crossing iteration.
+        # argmax on an all-False column would silently give 0: any RHS
+        # that never crosses pins the stop to its full history instead.
+        hits = errs1 <= gate
+        per_rhs = np.where(hits.any(axis=0), np.argmax(hits, axis=0),
+                           errs1.shape[0] - 1)
+        k_gate1 = int(np.max(per_rhs)) + 1
 
         @jax.jit
         def solve_stop(A, B, bb, x):

@@ -58,19 +58,6 @@ def main():
     m, n = A_op.shape
     lam = 1e-2
 
-    def timeit(f, *a):
-        r = f(*a)
-        jax.block_until_ready(r)
-        float(jnp.sum(r[0] if isinstance(r, tuple) else r))
-        ts = []
-        for _ in range(args.repeats):
-            t0 = time.time()
-            r = f(*a)
-            jax.block_until_ready(r)
-            ts.append(time.time() - t0)
-        float(jnp.sum(r[0] if isinstance(r, tuple) else r))
-        return min(ts)
-
     def slope_us(build):
         """us/iter from the R=1 vs R=3 repeat slope (dispatch cancels,
         shapes stay at the true bench maxit).  The operators ride as jit
