@@ -10,6 +10,7 @@ from hybrid_gmres_tpu.parallel.sharded_full import (
     ab_gmres_sharded_basis,
 )
 from hybrid_gmres_tpu.parallel.panels import (
+    PanelsWithAdjoint,
     ComposedPanels,
     ShardedPanels,
     comms_bytes_per_iteration,
@@ -67,6 +68,7 @@ __all__ = [
     "ba_gmres_sharded_basis",
     "ab_gmres_sharded_basis",
     "ShardedPanels",
+    "PanelsWithAdjoint",
     "ComposedPanels",
     "shard_bucketed_panels",
     "comms_bytes_per_iteration",

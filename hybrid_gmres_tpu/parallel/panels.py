@@ -487,6 +487,70 @@ def comms_bytes_per_iteration(A_panels: ShardedPanels,
     }
 
 
+def _require_exact_values(name: str, sp: ShardedPanels) -> None:
+    """Forward-layout adjoint/back panels must store EXACT (or elementwise-
+    rounded bf16) values: per-row quantization of A^T is per-COLUMN
+    quantization of A, so an int8/int4 forward-adjoint panel would silently
+    break the exact adjoint pair ``<A v, u> == <v, A^T u>`` the GKB
+    recurrences rely on (``lsqr_solver.m:22-28``)."""
+    if sp.row_scale is not None or sp.packed4:
+        raise ValueError(
+            f"{name} panels are quantized (int8/int4): forward-layout "
+            "adjoint panels must be f32/bf16 — per-row scales of the "
+            "transpose are per-column scales of the operator, which breaks "
+            "the exact adjoint pair; use the transposed-kernel layout for "
+            "quantized operators")
+
+
+@jax.tree_util.register_pytree_node_class
+class PanelsWithAdjoint:
+    """``A`` panels plus a DEDICATED forward-layout panel of ``A^T``.
+
+    The sharded GKB family applies ``A^T`` through the transposed kernel
+    of the A panel by default (exact adjoint, fewest panels) — measured
+    ~25% slower than a forward kernel (DESIGN §12).  Wrapping the pair
+    ``PanelsWithAdjoint(A_panels, AT_panels)`` (with ``AT_panels =
+    shard_bucketed_panels(A_csr.T.tocsr(), p)``) makes ``rmatvec`` run the
+    forward kernel of the A^T panel instead: one gather of the m-sharded
+    u ((p-1)*m/p bytes or windowed) and NO reduction, trading wire bytes
+    for the faster kernel exactly like the GMRES solvers' ``B_panels``
+    option.  Both panels must be f32/bf16 (elementwise storage — the
+    adjoint pair stays exact); quantized panels are rejected.
+    """
+
+    def __init__(self, A: ShardedPanels, AT: ShardedPanels):
+        m, n = A.shape
+        if AT.shape != (n, m):
+            raise ValueError(
+                f"AT panels must cover A^T as (n, m)={(n, m)}; got "
+                f"{AT.shape}")
+        if AT.p != A.p:
+            raise ValueError(f"AT panels built for p={AT.p}, A has {A.p}")
+        _require_exact_values("AT", AT)
+        _require_exact_values("A", A)
+        self.A = A
+        self.AT = AT
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    @property
+    def p(self):
+        return self.A.p
+
+    @property
+    def fro_sq(self):
+        return self.A.fro_sq
+
+    def tree_flatten(self):
+        return (self.A, self.AT), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
 @jax.tree_util.register_pytree_node_class
 class ComposedPanels:
     """Sharded composed operator ``M = A B`` ("ab", m-space) or ``M = B A``
@@ -498,16 +562,33 @@ class ComposedPanels:
     over ray rows.  Both M directions come from the two kernels of each
     panel: M v and M^T v each cost two collectives (one windowed/full
     gather + one reduce_scatter) — see ``composed_local_ops``.
+
+    ``B``: optional FORWARD-layout panels of B itself (B's pixel rows,
+    ``shard_bucketed_panels(B_csr, p)``) — the ``B u`` direction then runs
+    the forward kernel (gather of the m-sharded u, no reduction) instead
+    of the BT panel's transposed kernel, the same trade as the GMRES
+    solvers' ``B_panels`` (DESIGN §12).  Requires f32/bf16 panels on both
+    B and BT so M's matvec/rmatvec stay an exact adjoint pair.
     """
 
-    def __init__(self, A: ShardedPanels, BT: ShardedPanels, kind: str):
+    def __init__(self, A: ShardedPanels, BT: ShardedPanels, kind: str,
+                 B: ShardedPanels | None = None):
         if kind not in ("ab", "ba"):
             raise ValueError("kind must be 'ab' or 'ba'")
         if A.shape != BT.shape or A.p != BT.p:
             raise ValueError(
                 f"panel mismatch: A {A.shape}/p={A.p}, BT {BT.shape}/p={BT.p}")
+        if B is not None:
+            m, n = A.shape
+            if B.shape != (n, m) or B.p != A.p:
+                raise ValueError(
+                    f"B panels must cover B as (n, m)={(n, m)} at p={A.p}; "
+                    f"got {B.shape}/p={B.p}")
+            _require_exact_values("B", B)
+            _require_exact_values("BT", BT)
         self.A = A
         self.BT = BT
+        self.B = B
         self.kind = kind
 
     @property
@@ -520,18 +601,18 @@ class ComposedPanels:
         return self.A.p
 
     def tree_flatten(self):
-        return (self.A, self.BT), self.kind
+        return (self.A, self.BT, self.B), self.kind
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux)
+        return cls(children[0], children[1], aux, B=children[2])
 
 
 def composed_local_ops(cp: ComposedPanels, axis: str, dtype,
                        interpret: bool = False):
     """(matvec, rmatvec) on the shard-local composed operator, both taking
     and returning vectors sharded over ``axis`` in M's own space."""
-    A_loc, BT_loc = cp.A, cp.BT
+    A_loc, BT_loc, B_loc = cp.A, cp.BT, cp.B
 
     def _rs(full):
         return jax.lax.psum_scatter(full, axis, scatter_dimension=0,
@@ -549,9 +630,14 @@ def composed_local_ops(cp: ComposedPanels, axis: str, dtype,
         xw = gather_window(BT_loc, x_loc, axis)
         return local_matvec(BT_loc, xw, interpret=interpret).astype(dtype)
 
-    def B_rs(u_loc):                   # m-sharded -> n-sharded B u
-        part = local_rmatvec_window(BT_loc, u_loc, interpret=interpret)
-        return _rs(scatter_window_to_full(BT_loc, part).astype(dtype))
+    if B_loc is not None:
+        def B_rs(u_loc):               # m-sharded -> n-sharded B u (forward)
+            uw = gather_window(B_loc, u_loc, axis)
+            return local_matvec(B_loc, uw, interpret=interpret).astype(dtype)
+    else:
+        def B_rs(u_loc):               # m-sharded -> n-sharded B u
+            part = local_rmatvec_window(BT_loc, u_loc, interpret=interpret)
+            return _rs(scatter_window_to_full(BT_loc, part).astype(dtype))
 
     if cp.kind == "ab":
         matvec = lambda u: A_fwd(B_rs(u))      # M u   = A (B u)

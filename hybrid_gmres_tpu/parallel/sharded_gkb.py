@@ -27,6 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from hybrid_gmres_tpu.parallel.panels import (
     ComposedPanels,
+    PanelsWithAdjoint,
     ShardedPanels,
     composed_local_ops,
     gather_window,
@@ -50,7 +51,8 @@ def _prep(A, b, maxit, mesh, axis):
 
         mesh = make_mesh(axis_name=axis)
     p = mesh.devices.size
-    is_panels = isinstance(A, (ShardedPanels, ComposedPanels))
+    is_panels = isinstance(A, (ShardedPanels, ComposedPanels,
+                               PanelsWithAdjoint))
     m, n = A.shape
     if is_panels and A.p != p:
         raise ValueError(f"panels built for p={A.p}, mesh has {p}")
@@ -74,6 +76,21 @@ def _local_ops(A_loc, is_panels, axis, dtype, interpret):
         matvec, rmatvec = composed_local_ops(A_loc, axis, dtype,
                                              interpret=interpret)
         fro_sq = jnp.asarray(jnp.nan, dtype)
+    elif isinstance(A_loc, PanelsWithAdjoint):
+        # forward-layout adjoint: rmatvec runs the FORWARD kernel of the
+        # dedicated A^T panel (gather of the m-sharded u, no reduction) —
+        # the GKB twin of the GMRES solvers' B_panels option (DESIGN §12)
+        Ap, ATp = A_loc.A, A_loc.AT
+
+        def matvec(v_loc):
+            xw = gather_window(Ap, v_loc, axis)
+            return local_matvec(Ap, xw, interpret=interpret).astype(dtype)
+
+        def rmatvec(u_loc):
+            uw = gather_window(ATp, u_loc, axis)
+            return local_matvec(ATp, uw, interpret=interpret).astype(dtype)
+
+        fro_sq = Ap.fro_sq.reshape(-1)[0].astype(dtype)
     elif is_panels:
         def matvec(v_loc):
             xw = gather_window(A_loc, v_loc, axis)

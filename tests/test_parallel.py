@@ -1430,3 +1430,75 @@ def test_comm_dtype_bf16_hlo_wire_dtype():
     assert all(v in ("bf16", "u16") for v in agbf), agbf
     rsbf = re.findall(r"= (\w+)\[[^\]]*\][^=]* reduce-scatter\(", hbf)
     assert rsbf and all(v == "f32" for v in rsbf), rsbf
+
+
+# ---------------------------------------------------------------------------
+# Forward-layout adjoint panels for the GKB family (round 4)
+# ---------------------------------------------------------------------------
+
+def test_panels_with_adjoint_gkb_matches_dense():
+    """PanelsWithAdjoint (dedicated forward A^T panel) reproduces the dense
+    LSQR / hybrid-LSMR histories; quantized panels are rejected (per-row
+    scales of A^T are per-column scales of A — the exact adjoint pair
+    would silently break)."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        PanelsWithAdjoint, hybrid_lsmr_sharded, lsqr_sharded,
+        shard_bucketed_panels)
+    from hybrid_gmres_tpu.solvers.lsmr import hybrid_lsmr
+    from hybrid_gmres_tpu.solvers.lsqr import lsqr
+
+    Ad, _, b, x_true = _sparse_pair(64, 32, seed=13)
+    mesh = make_mesh()
+    p = mesh.devices.size
+    A_p = shard_bucketed_panels(sp.csr_matrix(Ad), p)
+    AT_p = shard_bucketed_panels(sp.csr_matrix(Ad.T.copy()), p)
+    pair = PanelsWithAdjoint(A_p, AT_p)
+    bj, xtj = jnp.asarray(b), jnp.asarray(x_true)
+
+    ref = lsqr(jnp.asarray(Ad), bj, xtj, tol=0.0, maxit=6)
+    r = lsqr_sharded(pair, bj, xtj, tol=0.0, maxit=6, mesh=mesh,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(r.res_hist),
+                               np.asarray(ref.res_hist), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r.err_hist),
+                               np.asarray(ref.err_hist), atol=5e-5)
+
+    refh = hybrid_lsmr(jnp.asarray(Ad), bj, xtj, tol=0.0, maxit=6, lam=1e-3)
+    rh = hybrid_lsmr_sharded(pair, bj, xtj, tol=0.0, maxit=6, lam=1e-3,
+                             mesh=mesh, interpret=True)
+    np.testing.assert_allclose(np.asarray(rh.res_hist),
+                               np.asarray(refh.res_hist), atol=5e-5)
+
+    A8 = shard_bucketed_panels(sp.csr_matrix(Ad), p, dtype=np.int8)
+    with pytest.raises(ValueError, match="quantized"):
+        PanelsWithAdjoint(A8, AT_p)
+    AT8 = shard_bucketed_panels(sp.csr_matrix(Ad.T.copy()), p,
+                                dtype=np.int8)
+    with pytest.raises(ValueError, match="quantized"):
+        PanelsWithAdjoint(A_p, AT8)
+
+
+def test_composed_panels_forward_b_matches_transposed():
+    """ComposedPanels(B=...) applies B through the forward kernel of its
+    own pixel-row panel; the composed GKB solve is unchanged."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ComposedPanels, lsqr_sharded, shard_bucketed_panels)
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 32, seed=17)
+    mesh = make_mesh()
+    p = mesh.devices.size
+    A_p = shard_bucketed_panels(sp.csr_matrix(Ad), p)
+    BT_p = shard_bucketed_panels(sp.csr_matrix(Bd.T.copy()), p)
+    B_p = shard_bucketed_panels(sp.csr_matrix(Bd), p)
+    d = jnp.asarray((Bd @ b).astype(np.float32))
+    xtj = jnp.asarray(x_true)
+    r_t = lsqr_sharded(ComposedPanels(A_p, BT_p, "ba"), d, xtj, tol=0.0,
+                       maxit=5, mesh=mesh, interpret=True)
+    r_f = lsqr_sharded(ComposedPanels(A_p, BT_p, "ba", B=B_p), d, xtj,
+                       tol=0.0, maxit=5, mesh=mesh, interpret=True)
+    np.testing.assert_allclose(np.asarray(r_f.res_hist),
+                               np.asarray(r_t.res_hist), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r_f.err_hist),
+                               np.asarray(r_t.err_hist), atol=5e-5)
