@@ -11,6 +11,7 @@ from hybrid_gmres_tpu.parallel.sharded_full import (
 )
 from hybrid_gmres_tpu.parallel.panels import (
     PanelsWithAdjoint,
+    build_panels_with_adjoint,
     ComposedPanels,
     ShardedPanels,
     comms_bytes_per_iteration,
@@ -69,6 +70,7 @@ __all__ = [
     "ab_gmres_sharded_basis",
     "ShardedPanels",
     "PanelsWithAdjoint",
+    "build_panels_with_adjoint",
     "ComposedPanels",
     "shard_bucketed_panels",
     "comms_bytes_per_iteration",

@@ -120,7 +120,8 @@ class ShardedPanels:
 
 def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
                           n_buckets: int = 4, row_group: int = 8,
-                          window: bool = True) -> ShardedPanels:
+                          window: bool = True,
+                          quantize: bool = True) -> ShardedPanels:
     """Split CSR rows into ``p`` contiguous slabs, pack each with the tuned
     single-chip bucketed format, pad to mesh-uniform shapes, and compute the
     static column windows.
@@ -128,6 +129,11 @@ def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
     ``window=True`` enables the windowed exchange when the column slabs are
     block-aligned (``(n/p) % bc == 0``); otherwise the panel falls back to
     global coordinates + all_gather (still with bucketed local compute).
+    ``quantize=False`` with an int8 dtype stores the csr values RAW (they
+    must already be integers in [-127, 127]) with no per-row scales — used
+    by :func:`build_panels_with_adjoint` to store ``Q^T`` of an
+    already-quantized ``A ~= diag(s) Q`` so the adjoint pair shares ONE
+    quantization.
     """
     m, n = csr.shape
     if m % p:
@@ -144,7 +150,7 @@ def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
         not isinstance(dtype, str) and np.dtype(dtype).name == "int4")
     if is_int4:
         dtype = np.int8
-    if is_int4 or np.dtype(dtype) == np.int8:
+    if (is_int4 or np.dtype(dtype) == np.int8) and quantize:
         # Per-row symmetric quantization A ~= diag(s) Q, one quantization
         # shared by forward and transposed application (exact adjoint pair,
         # same as the single-chip PallasBSROperator).
@@ -526,8 +532,19 @@ class PanelsWithAdjoint:
                 f"{AT.shape}")
         if AT.p != A.p:
             raise ValueError(f"AT panels built for p={AT.p}, A has {A.p}")
-        _require_exact_values("AT", AT)
-        _require_exact_values("A", A)
+        if A.row_scale is not None and not A.packed4:
+            # shared-quantization int8 pair (build_panels_with_adjoint):
+            # AT must hold the RAW Q^T values (no second quantization) so
+            # A^T u = Q^T (s u) is the exact adjoint of A x = s (Q x)
+            if AT.row_scale is not None or AT.packed4 or \
+                    AT.buckets[0][0].dtype != jnp.int8:
+                raise ValueError(
+                    "int8 A panels need a shared-quantization AT panel "
+                    "(raw int8 Q^T, no scales) — build the pair with "
+                    "build_panels_with_adjoint")
+        else:
+            _require_exact_values("AT", AT)
+            _require_exact_values("A", A)
         self.A = A
         self.AT = AT
 
@@ -549,6 +566,45 @@ class PanelsWithAdjoint:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+
+def build_panels_with_adjoint(csr, p: int, block=(8, 128),
+                              block_T=(8, 128), dtype=np.float32,
+                              n_buckets: int = 4, row_group: int = 8,
+                              window: bool = True) -> PanelsWithAdjoint:
+    """Build an EXACT-adjoint (A, A^T) forward-panel pair, including int8.
+
+    f32/bf16: both panels store elementwise(-rounded) values — exact pair.
+    int8: A is quantized ONCE (``A ~= diag(s) Q``); the AT panel stores the
+    raw integer ``Q^T`` with no scales of its own, and the GKB rmatvec
+    pre-scales the m-sharded input (``A^T u = Q^T (s u)``) — the same
+    exact pair the transposed kernel realizes, now through the faster
+    forward kernel.  int4 nibble packing of the transpose is not supported.
+    """
+    import scipy.sparse as sp_
+
+    is_int4 = (isinstance(dtype, str) and dtype.lower() == "int4") or (
+        not isinstance(dtype, str) and np.dtype(dtype).name == "int4")
+    if is_int4:
+        raise ValueError("int4 forward-adjoint panels are not supported; "
+                         "use int8 or the transposed-kernel layout")
+    A = shard_bucketed_panels(csr, p, block=block, dtype=dtype,
+                              n_buckets=n_buckets, row_group=row_group,
+                              window=window)
+    if not isinstance(dtype, str) and np.dtype(dtype) == np.int8:
+        from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
+
+        csr_q, _ = _row_quantize_csr(sp_.csr_matrix(csr), qmax=127)
+        AT = shard_bucketed_panels(csr_q.T.tocsr(), p, block=block_T,
+                                   dtype=np.int8, n_buckets=n_buckets,
+                                   row_group=row_group, window=window,
+                                   quantize=False)
+    else:
+        AT = shard_bucketed_panels(sp_.csr_matrix(csr).T.tocsr(), p,
+                                   block=block_T, dtype=dtype,
+                                   n_buckets=n_buckets, row_group=row_group,
+                                   window=window)
+    return PanelsWithAdjoint(A, AT)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -87,7 +87,12 @@ def _local_ops(A_loc, is_panels, axis, dtype, interpret):
             return local_matvec(Ap, xw, interpret=interpret).astype(dtype)
 
         def rmatvec(u_loc):
-            uw = gather_window(ATp, u_loc, axis)
+            u = u_loc
+            if Ap.row_scale is not None:
+                # shared-quantization int8 pair: A^T u = Q^T (s u) — the
+                # AT panel stores raw Q^T, the scales ride the input
+                u = Ap.row_scale[0] * u.astype(jnp.float32)
+            uw = gather_window(ATp, u, axis)
             return local_matvec(ATp, uw, interpret=interpret).astype(dtype)
 
         fro_sq = Ap.fro_sq.reshape(-1)[0].astype(dtype)

@@ -1502,3 +1502,42 @@ def test_composed_panels_forward_b_matches_transposed():
                                np.asarray(r_t.res_hist), atol=5e-5)
     np.testing.assert_allclose(np.asarray(r_f.err_hist),
                                np.asarray(r_t.err_hist), atol=5e-5)
+
+
+def test_build_panels_with_adjoint_int8_shared_quantization():
+    """build_panels_with_adjoint(int8): ONE quantization A ~= diag(s) Q
+    with AT storing raw Q^T — the forward-adjoint GKB matches a dense
+    solve on the exactly-quantized operator AND the transposed-kernel
+    int8 path; hand-built mismatched pairs stay rejected."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
+    from hybrid_gmres_tpu.parallel import (
+        PanelsWithAdjoint, build_panels_with_adjoint, lsqr_sharded,
+        shard_bucketed_panels)
+    from hybrid_gmres_tpu.solvers.lsqr import lsqr
+
+    Ad, _, b, x_true = _sparse_pair(64, 32, seed=19)
+    mesh = make_mesh()
+    p = mesh.devices.size
+    bj, xtj = jnp.asarray(b), jnp.asarray(x_true)
+
+    pair8 = build_panels_with_adjoint(sp.csr_matrix(Ad), p, dtype=np.int8)
+    csr_q, s8 = _row_quantize_csr(sp.csr_matrix(Ad), qmax=127)
+    Aq = jnp.asarray(s8[:, None] * csr_q.toarray(), dtype=jnp.float32)
+    ref = lsqr(Aq, bj, xtj, tol=0.0, maxit=6)
+    r = lsqr_sharded(pair8, bj, xtj, tol=0.0, maxit=6, mesh=mesh,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(r.res_hist),
+                               np.asarray(ref.res_hist), atol=5e-5)
+
+    A8 = shard_bucketed_panels(sp.csr_matrix(Ad), p, dtype=np.int8)
+    r_t = lsqr_sharded(A8, bj, xtj, tol=0.0, maxit=6, mesh=mesh,
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(r.res_hist),
+                               np.asarray(r_t.res_hist), atol=5e-5)
+
+    AT_f32 = shard_bucketed_panels(sp.csr_matrix(Ad.T.copy()), p)
+    with pytest.raises(ValueError, match="shared-quantization"):
+        PanelsWithAdjoint(A8, AT_f32)
+    with pytest.raises(ValueError, match="int4"):
+        build_panels_with_adjoint(sp.csr_matrix(Ad), p, dtype="int4")
