@@ -329,3 +329,27 @@ def test_batched_warm_start_on_chip(onedev_problem):
     w = np.asarray(warm.res_hist)
     assert np.isfinite(w).all()
     assert float(np.max(w[0])) < float(np.min(c[0]))
+
+
+def test_int8_forward_adjoint_gkb_on_chip(onedev_problem):
+    """build_panels_with_adjoint(int8) under real Mosaic: the raw-Q^T
+    forward kernel + input pre-scaling reproduces the transposed-kernel
+    int8 LSQR exactly (same shared quantization)."""
+    from hybrid_gmres_tpu.parallel import (
+        build_panels_with_adjoint, lsqr_sharded, shard_bucketed_panels)
+    from hybrid_gmres_tpu.parallel.mesh import make_mesh
+
+    A, B, x_true, b, _, _ = onedev_problem
+    mesh = make_mesh(1)
+    A8 = shard_bucketed_panels(A, 1, dtype=np.int8)
+    pair8 = build_panels_with_adjoint(A, 1, dtype=np.int8)
+    r_t = lsqr_sharded(A8, b, jnp.asarray(x_true), tol=0.0, maxit=8,
+                       mesh=mesh, interpret=False)
+    r_f = lsqr_sharded(pair8, b, jnp.asarray(x_true), tol=0.0, maxit=8,
+                       mesh=mesh, interpret=False)
+    np.testing.assert_allclose(np.asarray(r_f.res_hist),
+                               np.asarray(r_t.res_hist), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_f.err_hist),
+                               np.asarray(r_t.err_hist), rtol=2e-4,
+                               atol=1e-6)
