@@ -155,6 +155,7 @@ def lsqr_sharded(
     axis: str = "rows",
     interpret: bool = False,
     resume_from=None,
+    x0=None,
 ) -> GKBResult:
     """Sharded LSQR (``lsqr_solver.m:20-47`` semantics: cheap per-iteration
     residual estimate ``|phi_bar|/||b||`` with the final entry patched to the
@@ -164,7 +165,11 @@ def lsqr_sharded(
     vectors stay sharded across the checkpoint (x/v/w n-sharded, u
     m-sharded); ``resume(run(k), K) == run(K)`` exactly.  The state's
     histories are UNPATCHED (the true-residual final patch is re-applied
-    after resume), mirroring the single-chip ``solvers/lsqr.py``."""
+    after resume), mirroring the single-chip ``solvers/lsqr.py``.
+    ``x0``: optional n-length (replicated) warm start — the GKB runs on
+    ``b - A x0`` with the iterate carried in x-space, so residual/error
+    records and the final patch need no remapping (see the single-chip
+    ``lsqr``)."""
     from hybrid_gmres_tpu.solvers.common import GKBState
 
     mesh, p, m, n, maxit, is_panels = _prep(A, b, maxit, mesh, axis)
@@ -175,8 +180,11 @@ def lsqr_sharded(
     k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
     if resume_from is not None and k0 >= maxit:
         raise ValueError(f"resume needs maxit > {k0}")
+    have_x0 = x0 is not None
+    if not have_x0:
+        x0 = jnp.zeros((n,), dtype=b.dtype)
 
-    def solver(A_loc, b_loc, xt_loc, *carry_in):
+    def solver(A_loc, b_loc, xt_loc, x0_loc, *carry_in):
         matvec, rmatvec, _ = _local_ops(A_loc, is_panels, axis, dtype,
                                         interpret)
         pdot, pnorm, pnormalize = _collectives(axis, dtype)
@@ -187,11 +195,12 @@ def lsqr_sharded(
         if carry_in:
             carry0 = carry_in
         else:
-            u, beta, _ = pnormalize(b_loc)
+            rhs_loc = b_loc - matvec(x0_loc) if have_x0 else b_loc
+            u, beta, _ = pnormalize(rhs_loc)
             v, alpha, _ = pnormalize(rmatvec(u))
             w = v
-            x0 = jnp.zeros((nloc,), dtype=dtype)
-            carry0 = (x0, u, v, w, beta, alpha, alpha, jnp.bool_(True),
+            xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
+            carry0 = (xc0, u, v, w, beta, alpha, alpha, jnp.bool_(True),
                       jnp.int32(0))
 
         def step(carry, k):
@@ -242,8 +251,8 @@ def lsqr_sharded(
 
     carry_specs = (P(axis), P(axis), P(axis), P(axis),  # x, u, v, w
                    P(), P(), P(), P(), P())             # scalars/flags
-    in_specs = _specs(is_panels, axis)
-    args = (A, b, x_true)
+    in_specs = _specs(is_panels, axis) + (P(axis),)
+    args = (A, b, x_true, x0)
     if resume_from is not None:
         in_specs = in_specs + carry_specs
         args = args + tuple(resume_from.carry)

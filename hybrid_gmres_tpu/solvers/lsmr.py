@@ -41,6 +41,7 @@ def lsmr(
     fro_norm=None,
     reorth: bool = False,
     resume_from=None,
+    x0=None,
 ) -> GKBResult:
     """Standard LSMR (GKB + double QR recurrences).
 
@@ -49,7 +50,12 @@ def lsmr(
     final iterations on ill-conditioned operators.
     ``resume_from``: a prior result's ``.state`` (same ``reorth``) — the
     recurrence continues with the larger ``maxit`` budget, reproducing an
-    uninterrupted run exactly."""
+    uninterrupted run exactly.
+    ``x0``: optional warm start — the GKB runs on ``b - A x0`` with the
+    iterate carried in x-space (``x = x0 + d``); the true residual/err/
+    ``ar_hist`` records need no remapping.  Pass the same ``x0`` when
+    resuming.  (Hybrid LSMR takes no ``x0`` — Tikhonov on the correction
+    would regularize ``||d||``, not ``||x||``.)"""
     from hybrid_gmres_tpu.solvers.common import GKBState
 
     A = as_operator(A)
@@ -72,13 +78,15 @@ def lsmr(
             fro_norm = (jnp.linalg.norm(mat) if mat is not None
                         else jnp.asarray(jnp.nan, dtype))
 
-    u, beta1, _ = _safe_normalize(b)
+    b_iter = b if x0 is None else b - A.matvec(x0)
+    u, beta1, _ = _safe_normalize(b_iter)
     v, alpha1, _ = _safe_normalize(A.rmatvec(u))
 
     error_fn = rel_error_fn(x_true)
     n = A.shape[1]
     m = A.shape[0]
-    x0 = jnp.zeros((n,), dtype=dtype)
+    xc0 = (jnp.zeros((n,), dtype=dtype) if x0 is None
+           else jnp.asarray(x0, dtype=dtype))
     h0 = v
     hbar0 = jnp.zeros((n,), dtype=dtype)
     if reorth:
@@ -163,7 +171,7 @@ def lsmr(
     if resume_from is None:
         k0 = 0
         carry0 = (
-            x0, u, v, h0, hbar0, alpha1, alpha1 * beta1, alpha1, one, one,
+            xc0, u, v, h0, hbar0, alpha1, alpha1 * beta1, alpha1, one, one,
             one, jnp.zeros((), dtype), jnp.bool_(True), jnp.int32(0), U0, V0,
         )
     else:

@@ -137,6 +137,7 @@ def lsqr(
     maxit: int | None = None,
     reorth: bool = False,
     resume_from=None,
+    x0=None,
 ) -> GKBResult:
     """Standard LSQR with the reference's cheap residual estimate + final patch.
 
@@ -147,7 +148,14 @@ def lsqr(
     ``resume_from``: a prior result's ``.state`` (:class:`GKBState`) — the
     recurrence continues where it stopped with the larger ``maxit`` budget,
     producing exactly the numbers of an uninterrupted run (pass the same
-    ``reorth``)."""
+    ``reorth``).
+
+    ``x0``: optional warm start — the GKB runs on the correction
+    ``min ||(b - A x0) - A d||`` and returns ``x = x0 + d`` (residuals
+    still reported relative to ``||b||``); pass the SAME ``x0`` when
+    resuming.  (The HYBRID solvers take no ``x0``: Tikhonov on the
+    correction would regularize ``||d||``, not ``||x0 + d||`` — a
+    different estimator, not a restart.)"""
     from hybrid_gmres_tpu.solvers.common import GKBState, rel_error_fn
 
     A = as_operator(A)
@@ -155,15 +163,18 @@ def lsqr(
         maxit = min(A.shape)
     maxit = int(maxit)
     b_norm = jnp.linalg.norm(b)
+    b_iter = b if x0 is None else b - A.matvec(x0)
+    base_err = rel_error_fn(x_true)
+    error_fn = base_err if x0 is None else (lambda d: base_err(x0 + d))
 
     k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
     if k0 >= maxit and resume_from is not None:
         raise ValueError(f"resume needs maxit > {k0}")
     x, res_new, err_new, niters, carry = _lsqr_core(
         iter_op=A,
-        b_iter=b,
+        b_iter=b_iter,
         residual_fn=None,
-        error_fn=rel_error_fn(x_true),
+        error_fn=error_fn,
         b_norm_for_estimate=b_norm,
         maxit=maxit,
         tol=tol,
@@ -171,6 +182,8 @@ def lsqr(
         carry_init=None if resume_from is None else resume_from.carry,
         k0=k0,
     )
+    if x0 is not None:
+        x = x0 + x
     if resume_from is None:
         res_hist, err_hist = res_new, err_new
     else:

@@ -269,3 +269,35 @@ def test_gkb_2d_quantized_ar_hist_normalization():
     np.testing.assert_allclose(np.asarray(r.ar_hist),
                                np.asarray(r_ref.ar_hist, np.float32),
                                rtol=5e-3)
+
+
+@pytest.mark.parametrize("which", ["lsqr", "lsmr"])
+def test_gkb_warm_start(which):
+    """x0 warm start (round 4): x == x0 + solve(b - A x0) exactly, resume
+    with the same x0 is exact, and warm-from-good starts closer."""
+    from hybrid_gmres_tpu.solvers.lsmr import lsmr
+    from hybrid_gmres_tpu.solvers.lsqr import lsqr
+
+    solver = lsqr if which == "lsqr" else lsmr
+    rng = np.random.default_rng(5)
+    A = jnp.asarray(rng.standard_normal((48, 32)).astype(np.float32) * 0.1
+                    + np.eye(48, 32, dtype=np.float32))
+    xt = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    b = A @ xt + 0.01 * jnp.asarray(
+        rng.standard_normal(48).astype(np.float32))
+    x0 = jnp.asarray(rng.standard_normal(32).astype(np.float32) * 0.1)
+
+    r_warm = solver(A, b, xt, tol=0.0, maxit=8, x0=x0)
+    r_shift = solver(A, b - A @ x0, None, tol=0.0, maxit=8)
+    np.testing.assert_allclose(np.asarray(r_warm.x),
+                               np.asarray(x0 + r_shift.x), atol=1e-5)
+
+    part = solver(A, b, xt, tol=0.0, maxit=4, x0=x0)
+    resd = solver(A, b, xt, tol=0.0, maxit=8, x0=x0,
+                  resume_from=part.state)
+    np.testing.assert_allclose(np.asarray(resd.res_hist),
+                               np.asarray(r_warm.res_hist), atol=2e-5)
+
+    good = solver(A, b, xt, tol=0.0, maxit=12)
+    w2 = solver(A, b, xt, tol=0.0, maxit=4, x0=good.x)
+    assert float(w2.res_hist[0]) < float(r_warm.res_hist[0])

@@ -1541,3 +1541,32 @@ def test_build_panels_with_adjoint_int8_shared_quantization():
         PanelsWithAdjoint(A8, AT_f32)
     with pytest.raises(ValueError, match="int4"):
         build_panels_with_adjoint(sp.csr_matrix(Ad), p, dtype="int4")
+
+
+def test_lsqr_sharded_warm_start(prob):
+    """Sharded LSQR x0 warm start matches the single-chip warm start and
+    resumes exactly; the cold path is unchanged."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import lsqr_sharded, shard_bucketed_panels
+    from hybrid_gmres_tpu.solvers.lsqr import lsqr
+
+    Ad, _, b, x_true = _sparse_pair(64, 32, seed=23)
+    rng = np.random.default_rng(24)
+    x0 = jnp.asarray(rng.standard_normal(32).astype(np.float32) * 0.1)
+    mesh = make_mesh()
+    A_p = shard_bucketed_panels(sp.csr_matrix(Ad), mesh.devices.size)
+    bj, xtj = jnp.asarray(b), jnp.asarray(x_true)
+
+    ref = lsqr(jnp.asarray(Ad), bj, xtj, tol=0.0, maxit=6, x0=x0)
+    r = lsqr_sharded(A_p, bj, xtj, tol=0.0, maxit=6, mesh=mesh,
+                     interpret=True, x0=x0)
+    np.testing.assert_allclose(np.asarray(r.res_hist),
+                               np.asarray(ref.res_hist), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r.err_hist),
+                               np.asarray(ref.err_hist), atol=5e-5)
+    part = lsqr_sharded(A_p, bj, xtj, tol=0.0, maxit=3, mesh=mesh,
+                        interpret=True, x0=x0)
+    resd = lsqr_sharded(A_p, bj, xtj, tol=0.0, maxit=6, mesh=mesh,
+                        interpret=True, x0=x0, resume_from=part.state)
+    np.testing.assert_allclose(np.asarray(resd.res_hist),
+                               np.asarray(r.res_hist), atol=5e-5)
