@@ -210,6 +210,7 @@ def hybrid_lsqr(
     error_map=None,
     reorth: bool = False,
     resume_from=None,
+    x0=None,
 ) -> GKBResult:
     """LSQR on the augmented system [A; sqrt(lam) I], residual vs original A.
 
@@ -218,6 +219,13 @@ def hybrid_lsqr(
     final solution (e.g. the AB-style composed solve where x = B z,
     run_2D_phantom.m:150-163).
     ``resume_from``: a prior result's ``.state`` (same ``lam``/``reorth``).
+    ``x0``: optional warm start — an EXACT restart of the Tikhonov
+    problem: ``min_d ||A(x0+d)-b||^2 + lam ||x0+d||^2`` is the augmented
+    LSQR on ``[A; sqrt(lam) I] d ~ [b - A x0; -sqrt(lam) x0]`` with
+    ``x = x0 + d`` — unlike a correction-space warm start of the
+    projected hybrids, the regularizer still acts on the full ``x``.
+    Pass the same ``x0`` when resuming.  Incompatible with ``error_map``
+    (the offset lives in the iterate's own space).
     """
     from hybrid_gmres_tpu.solvers.common import GKBState
 
@@ -225,20 +233,32 @@ def hybrid_lsqr(
     if maxit is None:
         maxit = min(A.shape)
     maxit = int(maxit)
+    if x0 is not None and error_map is not None:
+        raise ValueError("x0 warm start and error_map cannot be combined")
     aug = AugmentedOperator(A, lam)
-    b_aug = aug.augment_rhs(b)
     b_norm = jnp.linalg.norm(b)
+    if x0 is None:
+        b_aug = aug.augment_rhs(b)
+    else:
+        sqlam = jnp.sqrt(jnp.asarray(lam, dtype=b.dtype))
+        b_aug = jnp.concatenate([b - A.matvec(x0), -sqlam * x0])
 
     from hybrid_gmres_tpu.solvers.common import rel_error_fn
 
-    def residual_fn(x):
-        return jnp.linalg.norm(b - A.matvec(x)) / b_norm
+    if x0 is None:
+        def residual_fn(x):
+            return jnp.linalg.norm(b - A.matvec(x)) / b_norm
+    else:
+        def residual_fn(d):
+            return jnp.linalg.norm(b - A.matvec(x0 + d)) / b_norm
 
     base_error_fn = rel_error_fn(x_true)
-    if error_map is None:
-        error_fn = base_error_fn
-    else:
+    if error_map is not None:
         error_fn = lambda z: base_error_fn(error_map(z))
+    elif x0 is not None:
+        error_fn = lambda d: base_error_fn(x0 + d)
+    else:
+        error_fn = base_error_fn
 
     k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
     if k0 >= maxit and resume_from is not None:
@@ -255,6 +275,8 @@ def hybrid_lsqr(
         carry_init=None if resume_from is None else resume_from.carry,
         k0=k0,
     )
+    if x0 is not None:
+        x = x0 + x
     if resume_from is None:
         res_hist, err_hist = res_new, err_new
     else:

@@ -301,3 +301,41 @@ def test_gkb_warm_start(which):
     good = solver(A, b, xt, tol=0.0, maxit=12)
     w2 = solver(A, b, xt, tol=0.0, maxit=4, x0=good.x)
     assert float(w2.res_hist[0]) < float(r_warm.res_hist[0])
+
+
+def test_hybrid_lsqr_warm_start_exact_tikhonov():
+    """hybrid_lsqr x0 is an EXACT restart of the Tikhonov problem (the
+    augmented rhs carries -sqrt(lam) x0, so the regularizer acts on the
+    full x): x0=0 == cold bitwise; warm-from-solution stays at the
+    solution; resume with the same x0 is exact."""
+    from hybrid_gmres_tpu.solvers.lsqr import hybrid_lsqr
+
+    rng = np.random.default_rng(6)
+    A = jnp.asarray(rng.standard_normal((48, 32)).astype(np.float32) * 0.1
+                    + np.eye(48, 32, dtype=np.float32))
+    xt = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    b = A @ xt + 0.01 * jnp.asarray(
+        rng.standard_normal(48).astype(np.float32))
+
+    r0 = hybrid_lsqr(A, b, xt, tol=0.0, maxit=10, lam=1e-2)
+    rz = hybrid_lsqr(A, b, xt, tol=0.0, maxit=10, lam=1e-2,
+                     x0=jnp.zeros(32))
+    np.testing.assert_allclose(np.asarray(rz.res_hist),
+                               np.asarray(r0.res_hist), atol=1e-6)
+
+    full = hybrid_lsqr(A, b, xt, tol=0.0, maxit=30, lam=1e-2)
+    warm = hybrid_lsqr(A, b, xt, tol=0.0, maxit=10, lam=1e-2, x0=full.x)
+    np.testing.assert_allclose(np.asarray(warm.x), np.asarray(full.x),
+                               atol=1e-4)
+
+    x0 = jnp.asarray(rng.standard_normal(32).astype(np.float32) * 0.1)
+    w = hybrid_lsqr(A, b, xt, tol=0.0, maxit=10, lam=1e-2, x0=x0)
+    part = hybrid_lsqr(A, b, xt, tol=0.0, maxit=5, lam=1e-2, x0=x0)
+    resd = hybrid_lsqr(A, b, xt, tol=0.0, maxit=10, lam=1e-2, x0=x0,
+                       resume_from=part.state)
+    np.testing.assert_allclose(np.asarray(resd.res_hist),
+                               np.asarray(w.res_hist), atol=2e-5)
+
+    with pytest.raises(ValueError, match="error_map"):
+        hybrid_lsqr(A, b, xt, maxit=4, lam=1e-2, x0=x0,
+                    error_map=lambda z: z)
