@@ -177,7 +177,8 @@ def main():
             # tunnel jitter swamped the repeat slope: report the wall number
             # only rather than shipping a nonsensical device time
             print(f"[bench] device-only slope not measurable this run "
-                  f"(t1={t1:.3f}s t3={t3:.3f}s)", file=sys.stderr)
+                  f"(t1={min(ts1):.3f}s t3={min(ts3):.3f}s)",
+                  file=sys.stderr)
     err = float(r.err_hist[int(r.niters) - 1])
     min_err = float(np.nanmin(np.asarray(r.err_hist)))
     nnz_per_sec = 2.0 * (A_csr.nnz + B_csr.nnz) * iters_per_sec

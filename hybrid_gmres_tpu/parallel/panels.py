@@ -545,6 +545,12 @@ class PanelsWithAdjoint:
         else:
             _require_exact_values("AT", AT)
             _require_exact_values("A", A)
+            if A.buckets[0][0].dtype != AT.buckets[0][0].dtype:
+                raise ValueError(
+                    f"A/AT storage dtypes differ "
+                    f"({A.buckets[0][0].dtype} vs {AT.buckets[0][0].dtype})"
+                    ": a bf16-rounded panel paired with an f32 transpose is "
+                    "not an exact adjoint pair")
         self.A = A
         self.AT = AT
 
@@ -642,6 +648,12 @@ class ComposedPanels:
                     f"got {B.shape}/p={B.p}")
             _require_exact_values("B", B)
             _require_exact_values("BT", BT)
+            if B.buckets[0][0].dtype != BT.buckets[0][0].dtype:
+                raise ValueError(
+                    f"B/BT storage dtypes differ "
+                    f"({B.buckets[0][0].dtype} vs "
+                    f"{BT.buckets[0][0].dtype}): M's matvec/rmatvec would "
+                    "not be an exact adjoint pair")
         self.A = A
         self.BT = BT
         self.B = B

@@ -1471,12 +1471,18 @@ def test_panels_with_adjoint_gkb_matches_dense():
                                np.asarray(refh.res_hist), atol=5e-5)
 
     A8 = shard_bucketed_panels(sp.csr_matrix(Ad), p, dtype=np.int8)
-    with pytest.raises(ValueError, match="quantized"):
+    # int8 A with a float AT: must demand the shared-quantization builder
+    with pytest.raises(ValueError, match="shared-quantization"):
         PanelsWithAdjoint(A8, AT_p)
     AT8 = shard_bucketed_panels(sp.csr_matrix(Ad.T.copy()), p,
                                 dtype=np.int8)
     with pytest.raises(ValueError, match="quantized"):
         PanelsWithAdjoint(A_p, AT8)
+    # mixed float storage dtypes are not an exact pair either
+    AT_bf = shard_bucketed_panels(sp.csr_matrix(Ad.T.copy()), p,
+                                  dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="storage dtypes differ"):
+        PanelsWithAdjoint(A_p, AT_bf)
 
 
 def test_composed_panels_forward_b_matches_transposed():
@@ -1543,7 +1549,7 @@ def test_build_panels_with_adjoint_int8_shared_quantization():
         build_panels_with_adjoint(sp.csr_matrix(Ad), p, dtype="int4")
 
 
-def test_lsqr_sharded_warm_start(prob):
+def test_lsqr_sharded_warm_start():
     """Sharded LSQR x0 warm start matches the single-chip warm start and
     resumes exactly; the cold path is unchanged."""
     import scipy.sparse as sp
