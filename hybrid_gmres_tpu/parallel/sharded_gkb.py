@@ -401,17 +401,24 @@ def lsmr_sharded(
     mesh: Mesh | None = None,
     axis: str = "rows",
     interpret: bool = False,
+    x0=None,
 ) -> GKBResult:
     """Sharded LSMR (``lsmr_solver.m:32-77``): GKB + double plane rotations,
-    with the TRUE residual and ``||A^T r||`` histories per iteration."""
+    with the TRUE residual and ``||A^T r||`` histories per iteration.
+    ``x0``: optional n-length (replicated) warm start — the GKB runs on
+    ``b - A x0`` with the iterate carried in x-space (see the single-chip
+    ``lsmr``)."""
     mesh, p, m, n, maxit, is_panels = _prep(A, b, maxit, mesh, axis)
     dtype = b.dtype
     eps = jnp.finfo(dtype).eps
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    have_x0 = x0 is not None
+    if not have_x0:
+        x0 = jnp.zeros((n,), dtype=dtype)
 
-    def solver(A_loc, b_loc, xt_loc):
+    def solver(A_loc, b_loc, xt_loc, x0_loc):
         matvec, rmatvec, fro_sq_loc = _local_ops(A_loc, is_panels, axis,
                                                  dtype, interpret)
         pdot, pnorm, pnormalize = _collectives(axis, dtype)
@@ -420,9 +427,10 @@ def lsmr_sharded(
 
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
-        u, beta1, _ = pnormalize(b_loc)
+        rhs_loc = b_loc - matvec(x0_loc) if have_x0 else b_loc
+        u, beta1, _ = pnormalize(rhs_loc)
         v, alpha1, _ = pnormalize(rmatvec(u))
-        x0 = jnp.zeros((nloc,), dtype=dtype)
+        xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
         h0 = v
         hbar0 = jnp.zeros((nloc,), dtype=dtype)
 
@@ -487,7 +495,7 @@ def lsmr_sharded(
 
         one = jnp.ones((), dtype)
         carry0 = (
-            x0, u, v, h0, hbar0, alpha1, alpha1 * beta1, alpha1, one, one,
+            xc0, u, v, h0, hbar0, alpha1, alpha1 * beta1, alpha1, one, one,
             one, jnp.zeros((), dtype), jnp.bool_(True), jnp.int32(0),
         )
         (x, *_rest, niters), (res_hist, err_hist, ar_hist) = jax.lax.scan(
@@ -495,9 +503,9 @@ def lsmr_sharded(
         return x, err_hist, res_hist, niters, ar_hist
 
     f = jax.shard_map(
-        solver, mesh=mesh, in_specs=_specs(is_panels, axis),
+        solver, mesh=mesh, in_specs=_specs(is_panels, axis) + (P(axis),),
         out_specs=(P(axis), P(), P(), P(), P()), check_vma=False)
-    x, err_hist, res_hist, niters, ar_hist = f(A, b, x_true)
+    x, err_hist, res_hist, niters, ar_hist = f(A, b, x_true, x0)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,

@@ -1550,10 +1550,12 @@ def test_build_panels_with_adjoint_int8_shared_quantization():
 
 
 def test_lsqr_sharded_warm_start():
-    """Sharded LSQR x0 warm start matches the single-chip warm start and
-    resumes exactly; the cold path is unchanged."""
+    """Sharded LSQR/LSMR x0 warm starts match the single-chip warm starts
+    and resume exactly; the cold paths are unchanged."""
     import scipy.sparse as sp
-    from hybrid_gmres_tpu.parallel import lsqr_sharded, shard_bucketed_panels
+    from hybrid_gmres_tpu.parallel import (lsmr_sharded, lsqr_sharded,
+                                           shard_bucketed_panels)
+    from hybrid_gmres_tpu.solvers.lsmr import lsmr
     from hybrid_gmres_tpu.solvers.lsqr import lsqr
 
     Ad, _, b, x_true = _sparse_pair(64, 32, seed=23)
@@ -1576,3 +1578,9 @@ def test_lsqr_sharded_warm_start():
                         interpret=True, x0=x0, resume_from=part.state)
     np.testing.assert_allclose(np.asarray(resd.res_hist),
                                np.asarray(r.res_hist), atol=5e-5)
+
+    refm = lsmr(jnp.asarray(Ad), bj, xtj, tol=0.0, maxit=6, x0=x0)
+    rm = lsmr_sharded(A_p, bj, xtj, tol=0.0, maxit=6, mesh=mesh,
+                      interpret=True, x0=x0)
+    np.testing.assert_allclose(np.asarray(rm.res_hist),
+                               np.asarray(refm.res_hist), atol=5e-5)
