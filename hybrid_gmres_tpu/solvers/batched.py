@@ -168,6 +168,97 @@ def _batched_core(first_mm, second_mm, r0, rhs, b_norm, project_solve,
                        IMG=IMG, S=S, active=active_f)
 
 
+
+def _batched_core_deferred(first_mm, second_mm, r0, rhs, b_norm,
+                           project_solve, solution, x_true, maxit, tol,
+                           img_stage, x_offset=None):
+    """Deferred-histories batched scan (the multi-RHS twin of
+    ``_gmres_core_deferred``): the scan runs ONLY the Arnoldi expansion
+    (SpMM + CGS2 + image stacking); the per-(k, RHS) projected solves
+    become one batched post-scan solve, and the residual/error histories
+    two big einsums.  The win scales with R: the in-scan fused residual
+    reads the ENTIRE (m_img, maxit, R) image basis every iteration
+    (~104 MB/iter at the CT bench R=8 — ~18% of device time), the
+    deferred form reads it once.  Early exit of the ITERATION is traded
+    away exactly as in the single-RHS mode (``tol`` honored post hoc) —
+    right for fixed-budget serving solves.  No resume support.
+    """
+    dtype = rhs.dtype
+    nsp, R = r0.shape
+    m_img = rhs.shape[0]
+    nx = x_true.shape[0]
+
+    beta = jnp.linalg.norm(r0, axis=0)                      # (R,)
+    beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
+    t = jnp.zeros((maxit + 1, R), dtype).at[0].set(beta)
+    Q0 = jnp.zeros((nsp, maxit + 1, R), dtype).at[:, 0, :].set(
+        jnp.where(beta > 0, r0 / beta_safe, jnp.zeros_like(r0)))
+    H0 = jnp.zeros((maxit + 1, maxit, R), dtype)
+    xt_norm = jnp.linalg.norm(x_true, axis=0)
+
+    def body(carry, k):
+        Q, H, active = carry
+        U = first_mm(Q[:, k, :])
+        W = second_mm(U)
+        img = U if img_stage == "first" else W              # (m_img, R)
+        c1 = jnp.einsum("nkr,nr->kr", Q, W)
+        W = W - jnp.einsum("nkr,kr->nr", Q, c1)
+        c2 = jnp.einsum("nkr,nr->kr", Q, W)
+        W = W - jnp.einsum("nkr,kr->nr", Q, c2)
+        h = c1 + c2
+        hnorm = jnp.linalg.norm(W, axis=0)
+        breakdown = hnorm <= jnp.zeros((), dtype)
+        hsafe = jnp.where(breakdown, jnp.ones((), dtype), hnorm)
+        h = h.at[k + 1].set(hnorm)
+        Hn = H.at[:, k, :].set(h)
+        Qn = Q.at[:, k + 1, :].set(
+            jnp.where(breakdown[None, :], jnp.zeros_like(W), W / hsafe))
+        Qn = jnp.where(active[None, None, :], Qn, Q)
+        Hn = jnp.where(active[None, None, :], Hn, H)
+        zero = jnp.zeros((), dtype)
+        img_rec = jnp.where(active[None, :], img, zero)
+        s_rec = (jnp.where(active[None, :], U, zero)
+                 if solution == "image" else None)
+        ok = active
+        active = active & ~breakdown
+        return (Qn, Hn, active), (img_rec, s_rec, ok)
+
+    (Q, H, _), (IMG_rows, S_rows, oks) = jax.lax.scan(
+        body, (Q0, H0, beta > 0), jnp.arange(maxit, dtype=jnp.int32))
+    IMG = jnp.moveaxis(IMG_rows, 0, 1)                      # (m_img, maxit, R)
+    S = (jnp.moveaxis(S_rows, 0, 1) if solution == "image" else None)
+    nsteps = jnp.sum(oks.astype(jnp.int32), axis=0)         # (R,)
+
+    ks = jnp.arange(1, maxit + 1, dtype=jnp.int32)
+    solve_r = jax.vmap(project_solve, in_axes=(2, 1, None), out_axes=1)
+    Y = jax.vmap(lambda kd: solve_r(H, t, kd))(ks)          # (k, maxit, R)
+
+    RES = rhs[:, None, :] - jnp.einsum("mkr,jkr->mjr", IMG, Y)
+    res_full = jnp.linalg.norm(RES, axis=0) / b_norm        # (maxit, R)
+    basis = S if solution == "image" else Q[:, :maxit, :]
+    X = jnp.einsum("nkr,jkr->njr", basis, Y)                # (nx, maxit, R)
+    if x_offset is not None:
+        X = X + x_offset[:, None, :]
+    err_full = jnp.linalg.norm(X - x_true[:, None, :], axis=0) / xt_norm
+
+    valid = ks[:, None] <= nsteps[None, :]
+    hit = valid & (res_full <= tol)
+    any_hit = jnp.any(hit, axis=0)
+    first_hit = jnp.argmax(hit, axis=0) + 1                 # (R,)
+    niters = jnp.where(any_hit, first_hit.astype(jnp.int32), nsteps)
+    rec = ks[:, None] <= niters[None, :]
+    nan = jnp.asarray(jnp.nan, dtype)
+    res_hist = jnp.where(rec, res_full, nan)
+    err_hist = jnp.where(rec, err_full, nan)
+    slot = jnp.maximum(niters - 1, 0)
+    x = jax.vmap(lambda Xr, sl, ok_: jnp.where(
+        ok_, Xr[:, sl], jnp.zeros((nx,), dtype)),
+        in_axes=(2, 0, 0), out_axes=1)(X, slot, niters > 0)
+    active_f = (nsteps == maxit) & ~any_hit
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta,
+                       IMG=IMG, S=S, active=active_f)
+
+
 def _chunk_slices(R, chunk_rhs):
     if chunk_rhs is None or chunk_rhs >= R:
         return [slice(None)]
@@ -212,7 +303,7 @@ def _slice_result(res: GMRESResult, sl):
 
 
 def _batched_solver(kind, A, B, b, x_true, tol, maxit, lam, gcv_grid,
-                    x0, resume_from, chunk_rhs):
+                    x0, resume_from, chunk_rhs, defer_histories=False):
     A = as_operator(A)
     B = as_operator(B)
     if b.ndim != 2:
@@ -232,6 +323,8 @@ def _batched_solver(kind, A, B, b, x_true, tol, maxit, lam, gcv_grid,
     if x0 is not None:
         x0 = jnp.broadcast_to(jnp.asarray(x0, dtype).reshape(n, -1), (n, R))
     if resume_from is not None:
+        if defer_histories:
+            raise ValueError("defer_histories does not support resume_from")
         if resume_from.IMG is None or (kind == "ab" and resume_from.S is
                                        None):
             raise ValueError("resume_from must come from the batched "
@@ -250,21 +343,24 @@ def _batched_solver(kind, A, B, b, x_true, tol, maxit, lam, gcv_grid,
         rs_c = None if resume_from is None else _slice_result(resume_from,
                                                               sl)
         rhs_c = b_c if x0_c is None else b_c - A.matmat(x0_c)
+        core = _batched_core_deferred if defer_histories else _batched_core
+        extra = {} if defer_histories else {"resume": rs_c}
         if kind == "ba":
             # r0 only seeds a COLD start; on resume the SpMM would be
             # dead compute outside jit
-            r0_c = None if rs_c is not None else B.matmat(rhs_c)
-            part = _batched_core(
+            r0_c = None if (not defer_histories and rs_c is not None) \
+                else B.matmat(rhs_c)
+            part = core(
                 first_mm=A.matmat, second_mm=B.matmat, r0=r0_c, rhs=rhs_c,
                 b_norm=b_norm[sl], project_solve=project_solve,
                 solution="basis", x_true=xt[:, sl], maxit=maxit, tol=tol,
-                img_stage="first", x_offset=x0_c, resume=rs_c)
+                img_stage="first", x_offset=x0_c, **extra)
         else:
-            part = _batched_core(
+            part = core(
                 first_mm=B.matmat, second_mm=A.matmat, r0=rhs_c, rhs=rhs_c,
                 b_norm=b_norm[sl], project_solve=project_solve,
                 solution="image", x_true=xt[:, sl], maxit=maxit, tol=tol,
-                img_stage="second", x_offset=x0_c, resume=rs_c)
+                img_stage="second", x_offset=x0_c, **extra)
         parts.append(part)
     res = _concat_results(parts)
     if x_true is None:
@@ -284,6 +380,7 @@ def ba_gmres_batched(
     x0=None,
     resume_from: GMRESResult | None = None,
     chunk_rhs: int | None = 8,
+    defer_histories: bool = False,
 ) -> GMRESResult:
     """Batched (hybrid) BA-GMRES over R right-hand sides.
 
@@ -301,9 +398,12 @@ def ba_gmres_batched(
     every RHS's Arnoldi recurrence exactly (pass the same ``x0``/``lam``/
     ``chunk_rhs``).  ``chunk_rhs``: R is auto-split into scans of at most
     this many RHS (default 8 — measured aggregate-throughput optimum;
-    None disables chunking)."""
+    None disables chunking).  ``defer_histories``: Arnoldi-only scan +
+    batched post-scan solves/histories (same numbers; trades in-iteration
+    early exit for not re-reading the (m, maxit, R) image basis every
+    iteration — the serving fixed-budget mode, DESIGN §13)."""
     return _batched_solver("ba", A, B, b, x_true, tol, maxit, lam, gcv_grid,
-                           x0, resume_from, chunk_rhs)
+                           x0, resume_from, chunk_rhs, defer_histories)
 
 
 def ab_gmres_batched(
@@ -318,10 +418,11 @@ def ab_gmres_batched(
     x0=None,
     resume_from: GMRESResult | None = None,
     chunk_rhs: int | None = 8,
+    defer_histories: bool = False,
 ) -> GMRESResult:
     """Batched (hybrid) AB-GMRES over R right-hand sides (m-space Krylov
     bases, solution composed from the stored ``B q_k`` images; per-RHS
     ``r0 = b - A x0``, ``x = x0 + S y``).  See :func:`ba_gmres_batched`
-    for ``x0``/``resume_from``/``chunk_rhs``."""
+    for ``x0``/``resume_from``/``chunk_rhs``/``defer_histories``."""
     return _batched_solver("ab", A, B, b, x_true, tol, maxit, lam, gcv_grid,
-                           x0, resume_from, chunk_rhs)
+                           x0, resume_from, chunk_rhs, defer_histories)

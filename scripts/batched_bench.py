@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=8,
                     help="chunk_rhs passed to the batched solver "
                          "(0 = disable chunking)")
+    ap.add_argument("--defer", action="store_true",
+                    help="defer_histories=True on the batched solver "
+                         "(Arnoldi-only scan, post-scan histories)")
     ap.add_argument("--warm", action="store_true",
                     help="also measure the serving warm-start scenario: "
                          "reconstruct a perturbed successive frame cold vs "
@@ -55,7 +58,8 @@ def main():
     @jax.jit
     def batched(A, B, bb, x):
         return ba_gmres_batched(A, B, bb, x, tol=0.0, maxit=maxit, lam=1e-2,
-                                chunk_rhs=chunk)
+                                chunk_rhs=chunk,
+                                defer_histories=args.defer)
 
     @jax.jit
     def single(A, B, bb, x):

@@ -234,3 +234,34 @@ def test_batched_checkpoint_roundtrip(tmp_path):
                             resume_from=loaded)
     np.testing.assert_allclose(np.asarray(resd.res_hist),
                                np.asarray(full.res_hist), atol=5e-5)
+
+
+@pytest.mark.parametrize("kind", ["ba", "ab"])
+def test_batched_defer_histories_matches_in_scan(kind):
+    """defer_histories (Arnoldi-only scan + post-scan solves/histories)
+    reproduces the in-scan batched solver including warm starts, chunking
+    and post-hoc tol stopping; resume is rejected."""
+    A, B, bb, Xt, X0 = _serving_pair(seed=11)
+    batched = ba_gmres_batched if kind == "ba" else ab_gmres_batched
+    r_s = batched(A, B, bb, Xt, maxit=8, lam=1e-3, x0=X0, chunk_rhs=2)
+    r_d = batched(A, B, bb, Xt, maxit=8, lam=1e-3, x0=X0, chunk_rhs=2,
+                  defer_histories=True)
+    np.testing.assert_allclose(np.asarray(r_d.res_hist),
+                               np.asarray(r_s.res_hist), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r_d.err_hist),
+                               np.asarray(r_s.err_hist), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r_d.x), np.asarray(r_s.x),
+                               atol=5e-5)
+    assert r_d.IMG.shape == r_s.IMG.shape
+
+    rt_s = batched(A, B, bb, Xt, maxit=10, lam=1e-3, tol=1e-5)
+    rt_d = batched(A, B, bb, Xt, maxit=10, lam=1e-3, tol=1e-5,
+                   defer_histories=True)
+    assert (np.asarray(rt_s.niters) == np.asarray(rt_d.niters)).all()
+    assert (np.isfinite(np.asarray(rt_s.res_hist))
+            == np.isfinite(np.asarray(rt_d.res_hist))).all()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="defer_histories"):
+        batched(A, B, bb, Xt, maxit=10, lam=1e-3, defer_histories=True,
+                resume_from=rt_s)
