@@ -148,9 +148,9 @@ def run(cfg: Config | None = None) -> Results:
         # ONE compiled program serves cold (zero x0) and warm: for this
         # run-once driver the dead b - A@0 SpMM is microseconds while a
         # second maxit=100 compile would double the wall time (measured
-        # 49 -> 96 s)
+        # 49 -> 96 s).  defer_histories = the serving mode (DESIGN §13).
         return ba_gmres_batched(A, B, bb, x, tol=0.0, maxit=cfg.maxit,
-                                lam=cfg.lam, x0=x0)
+                                lam=cfg.lam, x0=x0, defer_histories=True)
 
     rb = _batched(A_op, B_op, b_batch, xt,
                   jnp.zeros((xt.shape[0], cfg.R), jnp.float32))

@@ -233,10 +233,16 @@ def _batched_core_deferred(first_mm, second_mm, r0, rhs, b_norm,
     solve_r = jax.vmap(project_solve, in_axes=(2, 1, None), out_axes=1)
     Y = jax.vmap(lambda kd: solve_r(H, t, kd))(ks)          # (k, maxit, R)
 
-    RES = rhs[:, None, :] - jnp.einsum("mkr,jkr->mjr", IMG, Y)
+    # HIGHEST: the one-time post-scan einsums must reproduce the in-scan
+    # per-iteration matvecs — at the TPU's DEFAULT f32 precision (bf16
+    # passes) the reassociation differs by ~1e-3 on-chip; at HIGHEST the
+    # band is the usual 2e-4 and the cost is a single pass over the bases
+    hi = jax.lax.Precision.HIGHEST
+    RES = rhs[:, None, :] - jnp.einsum("mkr,jkr->mjr", IMG, Y,
+                                       precision=hi)
     res_full = jnp.linalg.norm(RES, axis=0) / b_norm        # (maxit, R)
     basis = S if solution == "image" else Q[:, :maxit, :]
-    X = jnp.einsum("nkr,jkr->njr", basis, Y)                # (nx, maxit, R)
+    X = jnp.einsum("nkr,jkr->njr", basis, Y, precision=hi)  # (nx, maxit, R)
     if x_offset is not None:
         X = X + x_offset[:, None, :]
     err_full = jnp.linalg.norm(X - x_true[:, None, :], axis=0) / xt_norm

@@ -242,3 +242,9 @@ def test_batched_solver_on_chip_quality():
     # n=32 phantom at 25% noise reconstructs to ~0.6; all four RHS must
     # land in the same band
     assert (mins < 0.75).all(), mins
+    # the deferred serving mode must reproduce the in-scan numbers under
+    # real Mosaic (DESIGN §13: +27-36% aggregate at bench scale)
+    r_d = ba_gmres_batched(A_op, B_op, b_batch, xt, tol=0.0, maxit=30,
+                           lam=1e-2, defer_histories=True)
+    np.testing.assert_allclose(np.asarray(r_d.err_hist), err, rtol=2e-4,
+                               atol=1e-6)
