@@ -55,6 +55,29 @@ def _pad_batched(res: GMRESResult, maxit: int):
     )
 
 
+
+def _batched_cgs2(Q, H, W, k, active):
+    """Two-pass CGS2 + breakdown-masked adoption, shared by the in-scan
+    and deferred batched cores (must stay bit-identical between them —
+    the deferred==in-scan parity contract)."""
+    dtype = W.dtype
+    c1 = jnp.einsum("nkr,nr->kr", Q, W)
+    W = W - jnp.einsum("nkr,kr->nr", Q, c1)
+    c2 = jnp.einsum("nkr,nr->kr", Q, W)
+    W = W - jnp.einsum("nkr,kr->nr", Q, c2)
+    h = c1 + c2
+    hnorm = jnp.linalg.norm(W, axis=0)
+    breakdown = hnorm <= jnp.zeros((), dtype)
+    hsafe = jnp.where(breakdown, jnp.ones((), dtype), hnorm)
+    h = h.at[k + 1].set(hnorm)
+    Hn = H.at[:, k, :].set(h)
+    Qn = Q.at[:, k + 1, :].set(
+        jnp.where(breakdown[None, :], jnp.zeros_like(W), W / hsafe))
+    Qn = jnp.where(active[None, None, :], Qn, Q)
+    Hn = jnp.where(active[None, None, :], Hn, H)
+    return Qn, Hn, breakdown
+
+
 def _batched_core(first_mm, second_mm, r0, rhs, b_norm, project_solve,
                   solution, x_true, maxit, tol, img_stage,
                   x_offset=None, resume=None):
@@ -118,20 +141,7 @@ def _batched_core(first_mm, second_mm, r0, rhs, b_norm, project_solve,
         if solution == "image":
             S = S.at[:, k, :].set(U)
         # CGS2, both passes batched over R (einsum hits the MXU)
-        c1 = jnp.einsum("nkr,nr->kr", Q, W)
-        W = W - jnp.einsum("nkr,kr->nr", Q, c1)
-        c2 = jnp.einsum("nkr,nr->kr", Q, W)
-        W = W - jnp.einsum("nkr,kr->nr", Q, c2)
-        h = c1 + c2                                         # (maxit+1, R)
-        hnorm = jnp.linalg.norm(W, axis=0)                  # (R,)
-        breakdown = hnorm <= jnp.zeros((), dtype)
-        hsafe = jnp.where(breakdown, jnp.ones((), dtype), hnorm)
-        h = h.at[k + 1].set(hnorm)
-        Hn = H.at[:, k, :].set(h)
-        Qn = Q.at[:, k + 1, :].set(
-            jnp.where(breakdown[None, :], jnp.zeros_like(W), W / hsafe))
-        Qn = jnp.where(active[None, None, :], Qn, Q)
-        Hn = jnp.where(active[None, None, :], Hn, H)
+        Qn, Hn, breakdown = _batched_cgs2(Q, H, W, k, active)
 
         kdim = k + 1
         y = jax.vmap(project_solve, in_axes=(2, 1, None), out_axes=1)(
@@ -201,33 +211,22 @@ def _batched_core_deferred(first_mm, second_mm, r0, rhs, b_norm,
         U = first_mm(Q[:, k, :])
         W = second_mm(U)
         img = U if img_stage == "first" else W              # (m_img, R)
-        c1 = jnp.einsum("nkr,nr->kr", Q, W)
-        W = W - jnp.einsum("nkr,kr->nr", Q, c1)
-        c2 = jnp.einsum("nkr,nr->kr", Q, W)
-        W = W - jnp.einsum("nkr,kr->nr", Q, c2)
-        h = c1 + c2
-        hnorm = jnp.linalg.norm(W, axis=0)
-        breakdown = hnorm <= jnp.zeros((), dtype)
-        hsafe = jnp.where(breakdown, jnp.ones((), dtype), hnorm)
-        h = h.at[k + 1].set(hnorm)
-        Hn = H.at[:, k, :].set(h)
-        Qn = Q.at[:, k + 1, :].set(
-            jnp.where(breakdown[None, :], jnp.zeros_like(W), W / hsafe))
-        Qn = jnp.where(active[None, None, :], Qn, Q)
-        Hn = jnp.where(active[None, None, :], Hn, H)
+        Qn, Hn, breakdown = _batched_cgs2(Q, H, W, k, active)
         zero = jnp.zeros((), dtype)
         img_rec = jnp.where(active[None, :], img, zero)
         s_rec = (jnp.where(active[None, :], U, zero)
                  if solution == "image" else None)
         ok = active
+        bkd_rec = active & breakdown
         active = active & ~breakdown
-        return (Qn, Hn, active), (img_rec, s_rec, ok)
+        return (Qn, Hn, active), (img_rec, s_rec, ok, bkd_rec)
 
-    (Q, H, _), (IMG_rows, S_rows, oks) = jax.lax.scan(
+    (Q, H, _), (IMG_rows, S_rows, oks, bkds) = jax.lax.scan(
         body, (Q0, H0, beta > 0), jnp.arange(maxit, dtype=jnp.int32))
     IMG = jnp.moveaxis(IMG_rows, 0, 1)                      # (m_img, maxit, R)
     S = (jnp.moveaxis(S_rows, 0, 1) if solution == "image" else None)
     nsteps = jnp.sum(oks.astype(jnp.int32), axis=0)         # (R,)
+    broke = jnp.any(bkds, axis=0)                           # (R,)
 
     ks = jnp.arange(1, maxit + 1, dtype=jnp.int32)
     solve_r = jax.vmap(project_solve, in_axes=(2, 1, None), out_axes=1)
@@ -257,10 +256,17 @@ def _batched_core_deferred(first_mm, second_mm, r0, rhs, b_norm,
     res_hist = jnp.where(rec, res_full, nan)
     err_hist = jnp.where(rec, err_full, nan)
     slot = jnp.maximum(niters - 1, 0)
-    x = jax.vmap(lambda Xr, sl, ok_: jnp.where(
-        ok_, Xr[:, sl], jnp.zeros((nx,), dtype)),
-        in_axes=(2, 0, 0), out_axes=1)(X, slot, niters > 0)
-    active_f = (nsteps == maxit) & ~any_hit
+    # niters==0 fallback is the warm-start iterate (an exactly-converged
+    # RHS must return x0, matching the in-scan core), not zero
+    x_fall = (jnp.zeros((nx, R), dtype) if x_offset is None
+              else jnp.asarray(x_offset, dtype))
+    x = jax.vmap(lambda Xr, sl, ok_, xf: jnp.where(ok_, Xr[:, sl], xf),
+                 in_axes=(2, 0, 0, 1), out_axes=1)(X, slot, niters > 0,
+                                                   x_fall)
+    # a breakdown on the FINAL iteration still counts in nsteps but the
+    # equivalent in-scan run ends inactive — exclude it, or a resumed
+    # solve would iterate on the zero Krylov vector
+    active_f = (nsteps == maxit) & ~any_hit & ~broke
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta,
                        IMG=IMG, S=S, active=active_f)
 
@@ -354,8 +360,7 @@ def _batched_solver(kind, A, B, b, x_true, tol, maxit, lam, gcv_grid,
         if kind == "ba":
             # r0 only seeds a COLD start; on resume the SpMM would be
             # dead compute outside jit
-            r0_c = None if (not defer_histories and rs_c is not None) \
-                else B.matmat(rhs_c)
+            r0_c = None if rs_c is not None else B.matmat(rhs_c)
             part = core(
                 first_mm=A.matmat, second_mm=B.matmat, r0=r0_c, rhs=rhs_c,
                 b_norm=b_norm[sl], project_solve=project_solve,

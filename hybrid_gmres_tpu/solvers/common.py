@@ -333,13 +333,15 @@ def _gmres_core_deferred(fused, project_solve, solution_fn, error_fn, maxit,
         s_rec = (jnp.where(active, u, zero).astype(bdt)
                  if fused.solution_from_image else None)
         ok = active
+        bkd = active & st.breakdown
         active = active & ~st.breakdown
-        return (Qn, Hn, active), (img_rec, s_rec, ok)
+        return (Qn, Hn, active), (img_rec, s_rec, ok, bkd)
 
-    (Q, H, _), (IMG_rows, S_rows, oks) = jax.lax.scan(
+    (Q, H, _), (IMG_rows, S_rows, oks, bkds) = jax.lax.scan(
         body, (Q0, H0, beta > 0), jnp.arange(maxit, dtype=jnp.int32))
     IMG = IMG_rows.T                              # (m_img, maxit)
     nsteps = jnp.sum(oks.astype(jnp.int32))
+    broke = jnp.any(bkds)
 
     ks = jnp.arange(1, maxit + 1, dtype=jnp.int32)
     Y = jax.vmap(lambda kd: project_solve(H, Q, t, kd))(ks)  # (maxit, maxit)
@@ -369,8 +371,10 @@ def _gmres_core_deferred(fused, project_solve, solution_fn, error_fn, maxit,
     slot = jnp.maximum(niters - 1, 0)
     x = jnp.where(niters > 0, X[:, slot], jnp.zeros((x_shape,), dtype))
     # the active flag an equivalent masked scan would end with: ran the
-    # full budget (no breakdown) and never hit tol
-    active_f = (nsteps == maxit) & ~any_hit
+    # full budget and never hit tol — a breakdown ON the final iteration
+    # still counts in nsteps but must end inactive (ADVICE-class bug
+    # found in the batched twin, fixed in both)
+    active_f = (nsteps == maxit) & ~any_hit & ~broke
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=IMG,
                        S=S_rows.T if fused.solution_from_image else None,
                        active=active_f)

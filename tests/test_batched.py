@@ -261,7 +261,30 @@ def test_batched_defer_histories_matches_in_scan(kind):
     assert (np.isfinite(np.asarray(rt_s.res_hist))
             == np.isfinite(np.asarray(rt_d.res_hist))).all()
 
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="defer_histories"):
+    with pytest.raises(ValueError, match="defer_histories"):
         batched(A, B, bb, Xt, maxit=10, lam=1e-3, defer_histories=True,
                 resume_from=rt_s)
+
+
+def test_batched_defer_edge_cases_match_in_scan():
+    """Deferred edge semantics == in-scan: an exactly-converged warm start
+    returns x0 (not zero), and a breakdown on the FINAL iteration ends
+    inactive (else a resumed solve would iterate on the zero vector)."""
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32) * 0.1
+                    + np.eye(16, 8, dtype=np.float32))
+    B = jnp.asarray(np.asarray(A).T.copy())
+    X0 = jnp.asarray(rng.standard_normal((8, 2)).astype(np.float32))
+    bb = A @ X0                       # zero residual under the warm start
+    r_d = ba_gmres_batched(A, B, bb, maxit=4, lam=1e-3, x0=X0,
+                           defer_histories=True)
+    np.testing.assert_allclose(np.asarray(r_d.x), np.asarray(X0),
+                               atol=1e-6)
+
+    I8 = jnp.eye(8, dtype=jnp.float32)
+    be = jnp.zeros((8, 2), jnp.float32).at[0, 0].set(1.0).at[1, 1].set(2.0)
+    rs = ba_gmres_batched(I8, I8, be, maxit=1, lam=1e-1)
+    rd = ba_gmres_batched(I8, I8, be, maxit=1, lam=1e-1,
+                          defer_histories=True)
+    assert (np.asarray(rs.active) == np.asarray(rd.active)).all()
+    assert not np.asarray(rd.active).any()
