@@ -47,3 +47,57 @@ def spmv_throughput(nnz: int, seconds: float, dtype_bytes: int = 4) -> dict:
         "nnz_per_s": nnz / seconds,
         "gb_per_s": nnz * (dtype_bytes + 4) / seconds / 1e9,  # value + index
     }
+
+
+def device_seconds(fn: Callable, *args, repeats: int = 10,
+                   reps: tuple = (1, 3)) -> float:
+    """Pure DEVICE time of one ``fn(*args)`` call, dispatch excluded.
+
+    The repeat-slope method (DESIGN §10): build two jitted programs that
+    run the work ``reps[0]`` and ``reps[1]`` times inside one call — an
+    outer ``lax.scan`` whose carry multiplies the first array argument by
+    an exactly-1.0 factor derived from the result, so XLA can neither
+    hoist nor parallelize the repeats — then time both INTERLEAVED
+    (min-of-N per side; a transport slowdown spanning several calls would
+    bias a blocked ordering) and take the slope.  The fixed per-call
+    dispatch/transport cost cancels exactly, and unlike a size-scaling
+    slope every shape stays at its true value.
+
+    ``fn`` must accept ``*args`` with at least one float-array argument
+    FIRST (the carry seed) and return an array or pytree whose first leaf
+    is an array.  Through a ~20-25 ms dispatch tunnel the slope noise is
+    ~±2-5% per call pair at default ``repeats``.
+    """
+    import jax.numpy as jnp
+
+    r_lo, r_hi = reps
+    if not (isinstance(r_lo, int) and isinstance(r_hi, int) and
+            r_lo < r_hi):
+        raise ValueError(f"reps must be increasing ints, got {reps}")
+
+    def rep(nrep):
+        @jax.jit
+        def run(first, *rest):
+            def outer(carry, _):
+                out = fn(carry, *rest)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                # (1 + 1e-30*sum) is exactly 1.0f but not foldable
+                return carry * (1.0 + 1e-30 * jnp.sum(leaf)), ()
+            carry, _ = jax.lax.scan(outer, first, jnp.arange(nrep))
+            return carry
+        return run
+
+    f_lo, f_hi = rep(r_lo), rep(r_hi)
+    for f in (f_lo, f_hi):
+        out = f(*args)
+        jax.block_until_ready(out)
+        float(jnp.sum(out))  # forced host readback (axon gotcha)
+    ts_lo, ts_hi = [], []
+    for _ in range(repeats):
+        for f, ts in ((f_lo, ts_lo), (f_hi, ts_hi)):
+            t0 = time.perf_counter()
+            out = f(*args)
+            jax.block_until_ready(out)
+            float(jnp.sum(out))
+            ts.append(time.perf_counter() - t0)
+    return (min(ts_hi) - min(ts_lo)) / (r_hi - r_lo)

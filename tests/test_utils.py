@@ -133,3 +133,41 @@ def test_benchmark_helper():
     assert out["best_s"] > 0
     tp = spmv_throughput(1000, 0.001)
     assert tp["nnz_per_s"] == 1e6
+
+
+def test_device_seconds_repeat_slope():
+    """device_seconds measures the per-call device time of a chained
+    computation: roughly linear in the work, and far below the wall time
+    of a single call when a fixed overhead is added around it."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_gmres_tpu.utils.profiling import device_seconds
+
+    M = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (256, 256)).astype(np.float32))
+
+    def work(x, M):
+        def body(c, _):
+            return jnp.tanh(M @ c), ()
+        c, _ = jax.lax.scan(body, x, jnp.arange(50))
+        return c
+
+    x = jnp.ones((256,), jnp.float32)
+    t1 = device_seconds(work, x, M, repeats=3)
+
+    def work2(x, M):
+        def body(c, _):
+            return jnp.tanh(M @ c), ()
+        c, _ = jax.lax.scan(body, x, jnp.arange(100))
+        return c
+
+    t2 = device_seconds(work2, x, M, repeats=3)
+    assert t1 > 0 and t2 > 0
+    # 2x the scan length: between 1.2x and 4x the measured device time
+    # (loose band — CI machines jitter)
+    assert 1.2 * t1 < t2 < 6 * t1, (t1, t2)
+
+    import pytest as _p
+    with _p.raises(ValueError, match="reps"):
+        device_seconds(work, x, M, reps=(3, 1))
