@@ -48,6 +48,7 @@ from hybrid_gmres_tpu.parallel.panels2d import (
     ab_gmres_sharded_pallas_2d,
     ba_gmres_sharded_pallas_2d,
     comms_bytes_per_iteration_2d,
+    tile_backprojector_forward,
     tile_bucketed_panels,
 )
 from hybrid_gmres_tpu.parallel.multihost import initialize_multihost
@@ -59,6 +60,7 @@ __all__ = [
     "shard_problem_2d",
     "TiledPanels",
     "tile_bucketed_panels",
+    "tile_backprojector_forward",
     "ba_gmres_sharded_pallas_2d",
     "ab_gmres_sharded_pallas_2d",
     "comms_bytes_per_iteration_2d",

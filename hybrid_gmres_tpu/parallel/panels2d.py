@@ -46,6 +46,7 @@ from hybrid_gmres_tpu.solvers.common import GMRESResult
 __all__ = [
     "TiledPanels",
     "tile_bucketed_panels",
+    "tile_backprojector_forward",
     "ba_gmres_sharded_pallas_2d",
     "ab_gmres_sharded_pallas_2d",
     "comms_bytes_per_iteration_2d",
@@ -195,6 +196,31 @@ def tile_bucketed_panels(csr, pr: int, pc: int, block=(8, 128),
         fro_sq=jnp.asarray(fro))
 
 
+def tile_backprojector_forward(B_csr, pr: int, pc: int,
+                               **kw) -> TiledPanels:
+    """Forward-layout back-projector tiles for a (pr x pc) ray x pixel
+    mesh: device (i, j) holds B[pixel slab j, ray slab i], so ``B u`` runs
+    the FORWARD kernel on the local tile (its columns are exactly this
+    device's u row-shard) followed by the SAME ``psum(rows)`` the
+    transposed layout uses — a pure kernel-speed trade with no extra
+    collectives, the 2-D form of DESIGN §12's ``B_panels`` option.
+
+    Implementation: tile B (n, m) on its own (pc, pr) grid, then permute
+    the leading device axis from (j, i)- to (i, j)-major so
+    ``PartitionSpec((rows, cols))`` places tile (j, i) on device (i, j).
+    The returned metadata keeps B's OWN grid (``pr`` field == mesh pc):
+    the tile-local kernels only use per-tile shapes.
+    """
+    tp = tile_bucketed_panels(B_csr, pc, pr, **kw)
+
+    def reorder(a):
+        arr = np.asarray(a)
+        out = arr.reshape((pc, pr) + arr.shape[1:]).swapaxes(0, 1)
+        return jnp.asarray(out.reshape((pr * pc,) + arr.shape[1:]))
+
+    return jax.tree_util.tree_map(reorder, tp)
+
+
 # ---------------------------------------------------------------------------
 # shard_map-local tile kernels (leaves pre-sliced to leading axis 1).
 # Scaling for quantized tiles happens OUTSIDE (after/before the cross-tile
@@ -307,25 +333,56 @@ def comms_bytes_per_iteration_2d(A_tiles: TiledPanels,
     }
 
 
-def _validate_2d(A_tiles, BT_tiles, mesh, axes):
+def _validate_2d(A_tiles, BT_tiles, mesh, axes, B_tiles=None):
     ar, ac = axes
     pr, pc = mesh.shape[ar], mesh.shape[ac]
     m, n = A_tiles.shape
-    if BT_tiles.shape != (m, n):
+    if BT_tiles is None and B_tiles is None:
+        raise ValueError("need BT_tiles (transposed layout) or B_tiles "
+                         "(forward layout, tile_backprojector_forward)")
+    if BT_tiles is not None and BT_tiles.shape != (m, n):
         raise ValueError(
             f"BT tiles must cover B^T as (m, n)={(m, n)}; got "
             f"{BT_tiles.shape}")
-    if (A_tiles.pr, A_tiles.pc) != (pr, pc) or \
-            (BT_tiles.pr, BT_tiles.pc) != (pr, pc):
+    if A_tiles.pr != pr or A_tiles.pc != pc or (
+            BT_tiles is not None and
+            (BT_tiles.pr, BT_tiles.pc) != (pr, pc)):
         raise ValueError(
-            f"tiles built for {A_tiles.pr}x{A_tiles.pc} / "
-            f"{BT_tiles.pr}x{BT_tiles.pc}, mesh is {pr}x{pc}")
+            f"tiles built for {A_tiles.pr}x{A_tiles.pc}"
+            + (f" / {BT_tiles.pr}x{BT_tiles.pc}" if BT_tiles is not None
+               else "")
+            + f", mesh is {pr}x{pc}")
+    if B_tiles is not None:
+        # forward tiles carry B's OWN grid: (pc, pr) of the mesh
+        if B_tiles.shape != (n, m) or (B_tiles.pr, B_tiles.pc) != (pc, pr):
+            raise ValueError(
+                f"B tiles must cover B as (n, m)={(n, m)} on a "
+                f"{pc}x{pr} grid (tile_backprojector_forward); got "
+                f"{B_tiles.shape} on {B_tiles.pr}x{B_tiles.pc}")
     return pr, pc, m, n
+
+
+def _make_B_mv_2d(B_or_BT_loc, b_forward, axes, dtype, interpret):
+    """Shard-local ``u (row-sharded) -> B u (col-sharded)``: forward
+    kernel on a :func:`tile_backprojector_forward` tile, or transposed
+    kernel on the BT tile — both complete with ONE psum over the row
+    axis (the forward layout is a pure kernel-speed trade here)."""
+    ar, ac = axes
+    if b_forward:
+        def B_mv(u_loc):
+            part = tile_matvec(B_or_BT_loc, u_loc, interpret=interpret)
+            y = jax.lax.psum(part, ar)
+            if B_or_BT_loc.row_scale is not None:
+                y = B_or_BT_loc.row_scale[0] * y
+            return y.astype(dtype)
+        return B_mv
+    _, B_mv, _ = tiled_local_ops(B_or_BT_loc, axes, dtype, interpret)
+    return B_mv
 
 
 def ba_gmres_sharded_pallas_2d(
     A_tiles: TiledPanels,
-    BT_tiles: TiledPanels,
+    BT_tiles: TiledPanels | None,
     b,
     x_true=None,
     tol: float = 1e-6,
@@ -335,6 +392,7 @@ def ba_gmres_sharded_pallas_2d(
     mesh: Mesh | None = None,
     axes=("rows", "cols"),
     interpret: bool = False,
+    B_tiles: TiledPanels | None = None,
 ) -> GMRESResult:
     """(Hybrid) BA-GMRES over a 2-D mesh with per-tile Pallas SpMV.
 
@@ -349,7 +407,9 @@ def ba_gmres_sharded_pallas_2d(
         raise ValueError("requires an explicit 2-D mesh (make_mesh_2d)")
     ar, ac = axes
     maxit = int(maxit)
-    pr, pc, m, n = _validate_2d(A_tiles, BT_tiles, mesh, axes)
+    pr, pc, m, n = _validate_2d(A_tiles, BT_tiles, mesh, axes, B_tiles)
+    b_forward = B_tiles is not None
+    Bp = B_tiles if b_forward else BT_tiles
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
@@ -370,7 +430,7 @@ def ba_gmres_sharded_pallas_2d(
         # the shared tiled_local_ops (one source for the quantized-scale
         # placement).
         A_mv, _, _ = tiled_local_ops(A_loc, axes, dtype, interpret)
-        _, B_mv, _ = tiled_local_ops(BT_loc, axes, dtype, interpret)
+        B_mv = _make_B_mv_2d(BT_loc, b_forward, axes, dtype, interpret)
 
         b_norm = jnp.sqrt(pdot_m(b_loc, b_loc))
         xt_norm = jnp.sqrt(pdot_n(xt_loc, xt_loc))
@@ -443,7 +503,7 @@ def ba_gmres_sharded_pallas_2d(
         check_vma=False,
     )
     x, err_hist, res_hist, niters, Q, H, beta = f(
-        A_tiles, BT_tiles, b, x_true)
+        A_tiles, Bp, b, x_true)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
@@ -451,7 +511,7 @@ def ba_gmres_sharded_pallas_2d(
 
 def ab_gmres_sharded_pallas_2d(
     A_tiles: TiledPanels,
-    BT_tiles: TiledPanels,
+    BT_tiles: TiledPanels | None,
     b,
     x_true=None,
     tol: float = 1e-6,
@@ -461,6 +521,7 @@ def ab_gmres_sharded_pallas_2d(
     mesh: Mesh | None = None,
     axes=("rows", "cols"),
     interpret: bool = False,
+    B_tiles: TiledPanels | None = None,
 ) -> GMRESResult:
     """(Hybrid) AB-GMRES over the 2-D tiled panels: m-space basis sharded
     over the row axis (replicated over cols), image intermediates
@@ -472,7 +533,9 @@ def ab_gmres_sharded_pallas_2d(
         raise ValueError("requires an explicit 2-D mesh (make_mesh_2d)")
     ar, ac = axes
     maxit = int(maxit)
-    pr, pc, m, n = _validate_2d(A_tiles, BT_tiles, mesh, axes)
+    pr, pc, m, n = _validate_2d(A_tiles, BT_tiles, mesh, axes, B_tiles)
+    b_forward = B_tiles is not None
+    Bp = B_tiles if b_forward else BT_tiles
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
@@ -489,7 +552,7 @@ def ab_gmres_sharded_pallas_2d(
             return jax.lax.psum(jnp.dot(u, v), ar)
 
         A_mv, _, _ = tiled_local_ops(A_loc, axes, dtype, interpret)
-        _, B_mv, _ = tiled_local_ops(BT_loc, axes, dtype, interpret)
+        B_mv = _make_B_mv_2d(BT_loc, b_forward, axes, dtype, interpret)
 
         b_norm = jnp.sqrt(pdot_m(b_loc, b_loc))
         xt_norm = jnp.sqrt(pdot_n(xt_loc, xt_loc))
@@ -562,7 +625,7 @@ def ab_gmres_sharded_pallas_2d(
         check_vma=False,
     )
     x, err_hist, res_hist, niters, Q, H, beta = f(
-        A_tiles, BT_tiles, b, x_true)
+        A_tiles, Bp, b, x_true)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)

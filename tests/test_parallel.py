@@ -1584,3 +1584,59 @@ def test_lsqr_sharded_warm_start():
                       interpret=True, x0=x0)
     np.testing.assert_allclose(np.asarray(rm.res_hist),
                                np.asarray(refm.res_hist), atol=5e-5)
+
+
+@pytest.mark.parametrize("grid", [(4, 2), (2, 4)])
+def test_tiled_2d_forward_b_layout(grid):
+    """2-D forward-layout back-projector (tile_backprojector_forward):
+    device (i, j) holds B[pixel slab j, ray slab i], B u runs the forward
+    tile kernel with the SAME psum(rows) as the transposed layout —
+    parity vs the dense solvers on both mesh shapes, and int8 forward
+    tiles match the exactly-quantized operator (B's own global-row
+    quantization; B is only ever applied forward here)."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu import ab_gmres
+    from hybrid_gmres_tpu.ops.spmv_pallas import _row_quantize_csr
+    from hybrid_gmres_tpu.parallel import (
+        ab_gmres_sharded_pallas_2d, ba_gmres_sharded_pallas_2d,
+        make_mesh_2d, tile_backprojector_forward, tile_bucketed_panels)
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 32, seed=29)
+    pr, pc = grid
+    mesh2 = make_mesh_2d(grid)
+    A_t = tile_bucketed_panels(sp.csr_matrix(Ad), pr, pc)
+    B_t = tile_backprojector_forward(sp.csr_matrix(Bd), pr, pc)
+    bj, xtj = jnp.asarray(b), jnp.asarray(x_true)
+
+    ref = ba_gmres(jnp.asarray(Ad), jnp.asarray(Bd), bj, xtj, tol=0.0,
+                   maxit=6, lam=1e-3)
+    r = ba_gmres_sharded_pallas_2d(A_t, None, bj, xtj, tol=0.0, maxit=6,
+                                   lam=1e-3, mesh=mesh2, interpret=True,
+                                   B_tiles=B_t)
+    np.testing.assert_allclose(np.asarray(r.res_hist),
+                               np.asarray(ref.res_hist), atol=5e-5)
+    ref2 = ab_gmres(jnp.asarray(Ad), jnp.asarray(Bd), bj, xtj, tol=0.0,
+                    maxit=6, lam=1e-3)
+    r2 = ab_gmres_sharded_pallas_2d(A_t, None, bj, xtj, tol=0.0, maxit=6,
+                                    lam=1e-3, mesh=mesh2, interpret=True,
+                                    B_tiles=B_t)
+    np.testing.assert_allclose(np.asarray(r2.res_hist),
+                               np.asarray(ref2.res_hist), atol=5e-5)
+
+    if grid == (4, 2):
+        csr_q, s8 = _row_quantize_csr(sp.csr_matrix(Bd), qmax=127)
+        Bq = jnp.asarray(s8[:, None] * csr_q.toarray(), dtype=jnp.float32)
+        ref8 = ba_gmres(jnp.asarray(Ad), Bq, bj, xtj, tol=0.0, maxit=6,
+                        lam=1e-3)
+        B8 = tile_backprojector_forward(sp.csr_matrix(Bd), pr, pc,
+                                        dtype=np.int8)
+        r8 = ba_gmres_sharded_pallas_2d(A_t, None, bj, xtj, tol=0.0,
+                                        maxit=6, lam=1e-3, mesh=mesh2,
+                                        interpret=True, B_tiles=B8)
+        np.testing.assert_allclose(np.asarray(r8.res_hist),
+                                   np.asarray(ref8.res_hist), atol=5e-5)
+        # wrong-grid forward tiles rejected
+        with pytest.raises(ValueError, match="B tiles"):
+            ba_gmres_sharded_pallas_2d(
+                A_t, None, bj, xtj, maxit=4, mesh=mesh2, interpret=True,
+                B_tiles=tile_bucketed_panels(sp.csr_matrix(Bd), pr, pc))
