@@ -134,50 +134,41 @@ def main():
     dt = min(times)  # each run ~40 ms; min-of-10 tightens tunnel jitter
     iters_per_sec = maxit / dt
 
-    # Device-only us/iter (VERDICT r3 #3): run R complete solves inside one
-    # jit with a sequentially-chained carry (the (1 + 1e-30*sum) factor is
-    # exactly 1.0f but not constant-foldable) and take the R=1 vs R=3
-    # slope — the fixed ~20-24 ms tunnel dispatch cancels, leaving pure
-    # device time at the true bench shapes.  On CPU this is skipped (the
+    # Device-only us/iter (VERDICT r3 #3): repeat-slope method via the
+    # shared utils.profiling.device_seconds API (R solves chained inside
+    # one jit; the fixed ~20-24 ms tunnel dispatch cancels, leaving pure
+    # device time at the true bench shapes).  On CPU this is skipped (the
     # dense fallback has no dispatch floor worth separating).
+    # Weather-proofing (VERDICT r4 #3): also record the measured dispatch
+    # floor (bare jit(x+1) roundtrip) and the min/median slope spread so a
+    # wall swing between rounds is attributable from the artifact alone.
     device_us_per_iter = None
+    device_us_per_iter_med = None
+    dispatch_floor_ms = None
     if on_tpu:
-        def _rep(nrep):
-            @jax.jit
-            def run(A, B, bb, xt):
-                def outer(cb, _):
-                    rr = _solve.__wrapped__(A, B, cb, xt)
-                    return cb * (1.0 + 1e-30 * jnp.sum(rr.x)), ()
-                cb, _ = jax.lax.scan(outer, bb, jnp.arange(nrep))
-                return cb
-            return run
+        from hybrid_gmres_tpu.utils.profiling import (device_seconds,
+                                                      dispatch_floor_seconds)
 
-        # interleaved R=1/R=3 sampling: a tunnel slowdown spanning several
-        # calls would otherwise bias one side of the slope even under min
-        f1, f3 = _rep(1), _rep(3)
-        for f in (f1, f3):
-            out = f(A_op, B_op, b, x_true)
-            jax.block_until_ready(out)
-            float(jnp.sum(out))
-        ts1, ts3 = [], []
-        for _ in range(5):
-            for f, ts in ((f1, ts1), (f3, ts3)):
-                t0 = time.time()
-                out = f(A_op, B_op, b, x_true)
-                jax.block_until_ready(out)
-                float(jnp.sum(out))
-                ts.append(time.time() - t0)
-        slope = (min(ts3) - min(ts1)) / 2 / maxit * 1e6
+        dispatch_floor_ms = dispatch_floor_seconds() * 1e3
+        print(f"[bench] dispatch floor (bare jit roundtrip): "
+              f"{dispatch_floor_ms:.1f} ms", file=sys.stderr)
+        st = device_seconds(
+            lambda cb, A, B, xt: _solve.__wrapped__(A, B, cb, xt).x,
+            b, A_op, B_op, x_true, repeats=5, reps=(1, 3), stats=True)
+        slope = st["slope_s"] / maxit * 1e6
+        slope_med = st["slope_med_s"] / maxit * 1e6
         if slope > 0:
             device_us_per_iter = slope
+            device_us_per_iter_med = slope_med
             print(f"[bench] device-only: {device_us_per_iter:.1f} us/iter "
-                  f"({1e6 / device_us_per_iter:.0f} it/s device-side; wall "
+                  f"(median-slope {slope_med:.1f}; "
+                  f"{1e6 / device_us_per_iter:.0f} it/s device-side; wall "
                   f"gap is tunnel dispatch)", file=sys.stderr)
         else:
             # tunnel jitter swamped the repeat slope: report the wall number
             # only rather than shipping a nonsensical device time
             print(f"[bench] device-only slope not measurable this run "
-                  f"(t1={min(ts1):.3f}s t3={min(ts3):.3f}s)",
+                  f"(t1={min(st['ts_lo']):.3f}s t3={min(st['ts_hi']):.3f}s)",
                   file=sys.stderr)
     err = float(r.err_hist[int(r.niters) - 1])
     min_err = float(np.nanmin(np.asarray(r.err_hist)))
@@ -206,6 +197,9 @@ def main():
     }
     if device_us_per_iter is not None:
         out["device_us_per_iter"] = round(device_us_per_iter, 1)
+        out["device_us_per_iter_med"] = round(device_us_per_iter_med, 1)
+    if dispatch_floor_ms is not None:
+        out["dispatch_floor_ms"] = round(dispatch_floor_ms, 1)
     print(json.dumps(out))
 
 

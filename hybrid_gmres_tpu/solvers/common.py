@@ -346,14 +346,21 @@ def _gmres_core_deferred(fused, project_solve, solution_fn, error_fn, maxit,
     ks = jnp.arange(1, maxit + 1, dtype=jnp.int32)
     Y = jax.vmap(lambda kd: project_solve(H, Q, t, kd))(ks)  # (maxit, maxit)
 
-    RES = fused.rhs[:, None] - IMG @ Y.T          # (m_img, maxit)
+    # HIGHEST: the one-time post-scan products must reproduce the in-scan
+    # per-iteration matvecs — at the TPU's DEFAULT f32 precision (bf16
+    # passes) the reassociation differs by ~1e-3 on-chip; at HIGHEST the
+    # band is the usual 2e-4 and the cost is a single pass over the bases
+    # (same fix as the batched twin, solvers/batched.py).
+    hi = jax.lax.Precision.HIGHEST
+    RES = fused.rhs[:, None] - jnp.matmul(IMG, Y.T, precision=hi)
     res_full = jnp.linalg.norm(RES, axis=0) / fused.rhs_norm
     if fused.solution_from_image:
-        X = S_rows.T @ Y.T                        # (x_shape, maxit)
+        X = jnp.matmul(S_rows.T, Y.T, precision=hi)  # (x_shape, maxit)
         if fused.x_offset is not None:
             X = X + fused.x_offset[:, None]
     else:
-        X = jax.vmap(lambda y: solution_fn(Q, y), out_axes=1)(Y)
+        with jax.default_matmul_precision("highest"):
+            X = jax.vmap(lambda y: solution_fn(Q, y), out_axes=1)(Y)
     err_full = jax.vmap(error_fn, in_axes=1)(X)
 
     # Post-hoc stopping: the first k with res <= tol (if tol > 0), bounded

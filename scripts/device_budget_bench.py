@@ -26,7 +26,6 @@ successive differences isolate one term each:
 
 import argparse
 import sys
-import time
 
 
 def main():
@@ -58,44 +57,21 @@ def main():
     m, n = A_op.shape
     lam = 1e-2
 
+    from hybrid_gmres_tpu.utils.profiling import device_seconds
+
     def slope_us(build):
-        """us/iter from the R=1 vs R=3 repeat slope (dispatch cancels,
-        shapes stay at the true bench maxit).  The operators ride as jit
-        ARGUMENTS — closing over the ~60MB panels would inline them into
-        the axon remote-compile payload (CLAUDE.md)."""
+        """us/iter from the R=1 vs R=3 repeat slope via the shared
+        utils.profiling.device_seconds (interleaved min-of-N; dispatch
+        cancels, shapes stay at the true bench maxit).  The operators ride
+        as fn ARGUMENTS — closing over the ~60MB panels would inline them
+        into the axon remote-compile payload (CLAUDE.md)."""
         core = build(args.maxit)
-
-        def rep(nrep):
-            @jax.jit
-            def run(A, B, b_):
-                def outer(bb, _):
-                    r = core(A, B, bb)
-                    # (1 + 1e-30*sum) is exactly 1.0f but not foldable:
-                    # chains the carry so the repeats stay sequential
-                    return bb * (1.0 + 1e-30 * jnp.sum(r)), ()
-                bb, _ = jax.lax.scan(outer, b_, jnp.arange(nrep))
-                return bb
-            return run
-
-        # INTERLEAVED timing: tunnel slowdowns lasting several calls would
-        # otherwise bias one side of the slope even under min-of-N
-        f1, f3 = rep(1), rep(3)
-        for f in (f1, f3):
-            out = f(A_op, B_op, b)
-            jax.block_until_ready(out)
-            float(jnp.sum(out))
-        ts1, ts3 = [], []
-        for _ in range(args.repeats):
-            for f, ts in ((f1, ts1), (f3, ts3)):
-                t0 = time.time()
-                out = f(A_op, B_op, b)
-                jax.block_until_ready(out)
-                float(jnp.sum(out))
-                ts.append(time.time() - t0)
-        t1, t3 = min(ts1), min(ts3)
+        st = device_seconds(lambda bb, A, B: core(A, B, bb), b, A_op, B_op,
+                            repeats=args.repeats, reps=(1, 3), stats=True)
+        t1, t3 = min(st["ts_lo"]), min(st["ts_hi"])
         print(f"    raw mins: t1={t1*1e3:.1f}ms t3={t3*1e3:.1f}ms",
               file=sys.stderr)
-        return (t3 - t1) / 2 / args.maxit * 1e6
+        return st["slope_s"] / args.maxit * 1e6
 
     # --- variant builders (custom scans mirroring the gmres_core body) ---
     def build_spmv(maxit):

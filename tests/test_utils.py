@@ -164,7 +164,7 @@ def test_device_seconds_repeat_slope():
 
     t2 = device_seconds(work2, x, M, repeats=3)
     assert t1 > 0 and t2 > 0
-    # 2x the scan length: between 1.2x and 4x the measured device time
+    # 2x the scan length: between 1.2x and 6x the measured device time
     # (loose band — CI machines jitter)
     assert 1.2 * t1 < t2 < 6 * t1, (t1, t2)
 

@@ -167,8 +167,11 @@ def test_defer_histories_on_device_matches_masked():
     assert int(r1.niters) == int(r2.niters)
     e1, e2 = np.asarray(r1.err_hist), np.asarray(r2.err_hist)
     a1, a2 = np.asarray(r1.res_hist), np.asarray(r2.res_hist)
-    np.testing.assert_allclose(e2, e1, rtol=2e-3, atol=1e-4)
-    np.testing.assert_allclose(a2, a1, rtol=2e-3, atol=1e-4)
+    # the deferred core runs its post-scan products at Precision.HIGHEST
+    # (solvers/common.py) so the on-chip band matches the batched twin's
+    # 2e-4, not the ~1e-3 of default-precision (bf16-pass) f32 matmuls
+    np.testing.assert_allclose(e2, e1, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(a2, a1, rtol=2e-4, atol=1e-6)
 
 
 def test_int4_packed_kernel_on_chip():
