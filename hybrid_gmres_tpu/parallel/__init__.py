@@ -23,6 +23,10 @@ from hybrid_gmres_tpu.parallel.sharded_pallas import (
     ba_gmres_sharded_pallas,
     ba_gmres_sharded_pallas_restarted,
 )
+from hybrid_gmres_tpu.parallel.sharded_batched import (
+    ab_gmres_sharded_batched,
+    ba_gmres_sharded_batched,
+)
 from hybrid_gmres_tpu.parallel.sharded_rtp import (
     ab_gmres_rtp_sharded,
     ba_gmres_rtp_sharded,
@@ -80,6 +84,8 @@ __all__ = [
     "ab_gmres_sharded_pallas",
     "ba_gmres_sharded_pallas_restarted",
     "ab_gmres_sharded_pallas_restarted",
+    "ba_gmres_sharded_batched",
+    "ab_gmres_sharded_batched",
     "ba_gmres_rtp_sharded",
     "ab_gmres_rtp_sharded",
     "lsqr_sharded",

@@ -36,7 +36,12 @@ import jax
 import jax.numpy as jnp
 
 from hybrid_gmres_tpu.ops.sparse import bucketed_block_ell_from_csr
-from hybrid_gmres_tpu.ops.spmv_pallas import _bucket_matvec, _bucket_rmatvec
+from hybrid_gmres_tpu.ops.spmv_pallas import (
+    _bucket_matmat,
+    _bucket_matvec,
+    _bucket_rmatmat,
+    _bucket_rmatvec,
+)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -388,6 +393,116 @@ def local_rmatvec_window(sp: ShardedPanels, u_loc, interpret: bool = False):
             packed4=sp.packed4)
         off += nbr_b
     return y2d
+
+
+def gather_window_mat(sp: ShardedPanels, X_loc, axis: str, comm_dtype=None):
+    """Multi-RHS twin of :func:`gather_window`: assemble this shard's
+    window of the row-sharded X (nloc, R) as (win_blocks, R, bc) f32 — the
+    input layout of the SpMM kernel (``_bucket_matmat``).  The SAME
+    ppermute/all_gather schedule as the vector form, R times the payload
+    per hop (one exchange serves all R columns)."""
+    bc = sp.block_shape[1]
+    n = sp.shape[1]
+    p = sp.p
+    R = X_loc.shape[1]
+    X_loc = X_loc.astype(jnp.float32)
+    if comm_dtype is not None:
+        # bitcast so the wire provably carries the narrow words (see
+        # gather_window — a plain astype gets reordered past collectives)
+        cd = jnp.dtype(comm_dtype)
+        ui = jnp.dtype(f"uint{cd.itemsize * 8}")
+        X_loc = jax.lax.bitcast_convert_type(X_loc.astype(cd), ui)
+
+        def _unwire(a):
+            return jax.lax.bitcast_convert_type(a, cd).astype(jnp.float32)
+    else:
+        def _unwire(a):
+            return a
+    if not sp.windowed:
+        X_full = _unwire(jax.lax.all_gather(X_loc, axis, tiled=True))
+        n_pad = sp.ncb * bc
+        X2d = jnp.zeros((n_pad, R), jnp.float32).at[:n].set(X_full)
+        return X2d.reshape(sp.ncb, bc, R).transpose(0, 2, 1)
+    dmin, L = sp.shifts
+    nloc = n // p
+    slabs = []
+    for idx in range(L):
+        d = dmin + idx
+        if d == 0:
+            slabs.append(X_loc)
+        else:
+            perm = [((j + d) % p, j) for j in range(p)]
+            slabs.append(jax.lax.ppermute(X_loc, axis, perm))
+    stack = _unwire(jnp.stack(slabs))             # (L, nloc, R)
+    my = jax.lax.axis_index(axis)
+    start_rel = sp.win_start.reshape(-1)[0] - my - dmin
+    zero = jnp.zeros((), start_rel.dtype)
+    win = jax.lax.dynamic_slice(
+        stack, (start_rel, zero, zero), (sp.win_slabs, nloc, R))
+    return win.reshape(-1, R).reshape(sp.win_blocks, bc, R).transpose(
+        0, 2, 1)
+
+
+def local_matmat(sp: ShardedPanels, x_win3d, interpret: bool = False):
+    """Multi-RHS forward kernel over this shard's buckets:
+    (m/p, R) = A_loc @ X_win — one panel read serves all R columns."""
+    br = sp.block_shape[0]
+    mloc = sp.shape[0] // sp.p
+    R = x_win3d.shape[1]
+    ys = []
+    for blocks, bcols in sp.buckets:
+        ys.append(_bucket_matmat(bcols[0], blocks[0], x_win3d,
+                                 interpret=interpret,
+                                 row_group=sp.row_group,
+                                 packed4=sp.packed4))
+    y_sorted = jnp.concatenate(ys, axis=0).reshape(-1, br, R)
+    y_rows = y_sorted[sp.inv_perm[0]]
+    y = y_rows.reshape(-1, R)[:mloc]
+    if sp.row_scale is not None:
+        y = sp.row_scale[0][:, None] * y
+    return y
+
+
+def local_rmatmat_window(sp: ShardedPanels, U_loc, interpret: bool = False):
+    """Multi-RHS transposed kernel: window-relative partial
+    ``(A_loc)^T U_loc`` of shape (win_blocks, R, bc) for U_loc (m/p, R)."""
+    br, bc = sp.block_shape
+    mloc = sp.shape[0] // sp.p
+    R = U_loc.shape[1]
+    nbr = -(-mloc // br)
+    perm = sp.fwd_perm[0]
+    U_loc = U_loc.astype(jnp.float32)
+    if sp.row_scale is not None:
+        U_loc = sp.row_scale[0][:, None] * U_loc
+    u_pad = jnp.zeros((nbr * br, R), jnp.float32).at[:mloc].set(
+        U_loc).reshape(nbr, br, R)
+    u_sorted = jnp.where((perm >= 0)[:, None, None],
+                         u_pad[jnp.clip(perm, 0)], 0.0)
+    y3d = jnp.zeros((sp.win_blocks, R, bc), jnp.float32)
+    off = 0
+    for blocks, bcols in sp.buckets:
+        nbr_b = blocks.shape[1]
+        y3d = y3d + _bucket_rmatmat(
+            bcols[0], blocks[0], u_sorted[off:off + nbr_b], sp.win_blocks,
+            interpret=interpret, row_group=sp.row_group,
+            packed4=sp.packed4)
+        off += nbr_b
+    return y3d
+
+
+def scatter_window_to_full_mat(sp: ShardedPanels, y_win3d):
+    """Place a window-relative multi-RHS partial (win_blocks, R, bc) into
+    the global (n, R) frame (local zero-pad + roll, no communication)."""
+    n = sp.shape[1]
+    R = y_win3d.shape[1]
+    flat = y_win3d.transpose(0, 2, 1).reshape(-1, R)
+    if not sp.windowed:
+        return flat[:n]
+    p = sp.p
+    nloc = n // p
+    full = jnp.zeros((n, R), flat.dtype).at[:flat.shape[0]].set(flat)
+    off = sp.win_start.reshape(-1)[0] * nloc
+    return jnp.roll(full, off, axis=0)
 
 
 def scatter_window_to_full(sp: ShardedPanels, y_win2d):

@@ -353,3 +353,43 @@ def test_int8_forward_adjoint_gkb_on_chip(onedev_problem):
     np.testing.assert_allclose(np.asarray(r_f.err_hist),
                                np.asarray(r_t.err_hist), rtol=2e-4,
                                atol=1e-6)
+
+
+def test_sharded_batched_1dev_mosaic_matches_batched(onedev_problem):
+    """Sharded multi-RHS GMRES (SpMM kernels under real Mosaic, 1-device
+    mesh) == the single-chip batched solver per RHS, in-scan and deferred
+    (the serving x distribution composition, VERDICT r4 #1)."""
+    from hybrid_gmres_tpu.ops.spmv_pallas import PallasBSROperator
+    from hybrid_gmres_tpu.parallel.mesh import make_mesh
+    from hybrid_gmres_tpu.parallel.sharded_batched import (
+        ba_gmres_sharded_batched)
+    from hybrid_gmres_tpu.solvers.batched import ba_gmres_batched
+
+    A, B, x_true, b, A_p, BT_p = onedev_problem
+    rng = np.random.default_rng(5)
+    R = 3
+    X_true = rng.standard_normal((A.shape[1], R)).astype(np.float32)
+    Bmat = jnp.asarray(A @ X_true, dtype=jnp.float32)
+    mesh = make_mesh(1)
+    r = ba_gmres_sharded_batched(A_p, BT_p, Bmat, jnp.asarray(X_true),
+                                 tol=0.0, maxit=8, lam=1e-3, mesh=mesh,
+                                 interpret=False)
+    # reference through the SAME SpMM kernels (a dense on-chip reference
+    # would inject its own ~1e-3 bf16-pass matmul noise)
+    A_op = PallasBSROperator.from_csr(A, with_adjoint=False)
+    B_op = PallasBSROperator.from_csr(B, with_adjoint=False)
+    rd = ba_gmres_batched(A_op, B_op, Bmat,
+                          jnp.asarray(X_true), tol=0.0, maxit=8, lam=1e-3,
+                          chunk_rhs=None)
+    np.testing.assert_allclose(np.asarray(r.err_hist),
+                               np.asarray(rd.err_hist), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r.res_hist),
+                               np.asarray(rd.res_hist), rtol=2e-4,
+                               atol=1e-6)
+    r2 = ba_gmres_sharded_batched(A_p, BT_p, Bmat, jnp.asarray(X_true),
+                                  tol=0.0, maxit=8, lam=1e-3, mesh=mesh,
+                                  interpret=False, defer_histories=True)
+    np.testing.assert_allclose(np.asarray(r2.err_hist),
+                               np.asarray(r.err_hist), rtol=2e-4,
+                               atol=1e-6)
