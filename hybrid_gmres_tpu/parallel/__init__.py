@@ -50,7 +50,9 @@ from hybrid_gmres_tpu.parallel.sharded2d import (
 from hybrid_gmres_tpu.parallel.panels2d import (
     TiledPanels,
     ab_gmres_sharded_pallas_2d,
+    ab_gmres_sharded_pallas_2d_restarted,
     ba_gmres_sharded_pallas_2d,
+    ba_gmres_sharded_pallas_2d_restarted,
     comms_bytes_per_iteration_2d,
     tile_backprojector_forward,
     tile_bucketed_panels,
@@ -67,6 +69,8 @@ __all__ = [
     "tile_backprojector_forward",
     "ba_gmres_sharded_pallas_2d",
     "ab_gmres_sharded_pallas_2d",
+    "ba_gmres_sharded_pallas_2d_restarted",
+    "ab_gmres_sharded_pallas_2d_restarted",
     "comms_bytes_per_iteration_2d",
     "shard_problem",
     "sharded_ba_matvec",

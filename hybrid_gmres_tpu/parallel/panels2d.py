@@ -49,6 +49,8 @@ __all__ = [
     "tile_backprojector_forward",
     "ba_gmres_sharded_pallas_2d",
     "ab_gmres_sharded_pallas_2d",
+    "ba_gmres_sharded_pallas_2d_restarted",
+    "ab_gmres_sharded_pallas_2d_restarted",
     "comms_bytes_per_iteration_2d",
 ]
 
@@ -380,6 +382,25 @@ def _make_B_mv_2d(B_or_BT_loc, b_forward, axes, dtype, interpret):
     return B_mv
 
 
+def _resume_setup_2d(resume_from, maxit, need_S):
+    """Shared resume validation/padding for the 2-D solvers (mirrors the
+    1-D ``sharded_pallas`` resume semantics)."""
+    from hybrid_gmres_tpu.utils.checkpoint import check_resumable, pad_state
+
+    if resume_from.IMG is None or (need_S and resume_from.S is None):
+        raise ValueError("resume_from must come from this 2-D sharded "
+                         "solver (missing .IMG" +
+                         ("/.S)" if need_S else ")"))
+    check_resumable(resume_from)
+    k0 = int(resume_from.niters)
+    if k0 >= maxit:
+        raise ValueError(f"resume needs maxit > {k0}")
+    resumed_active = (bool(resume_from.active)
+                      if resume_from.active is not None
+                      else k0 == resume_from.res_hist.shape[0])
+    return k0, resumed_active, pad_state(resume_from, maxit)
+
+
 def ba_gmres_sharded_pallas_2d(
     A_tiles: TiledPanels,
     BT_tiles: TiledPanels | None,
@@ -393,6 +414,8 @@ def ba_gmres_sharded_pallas_2d(
     axes=("rows", "cols"),
     interpret: bool = False,
     B_tiles: TiledPanels | None = None,
+    x0=None,
+    resume_from: GMRESResult | None = None,
 ) -> GMRESResult:
     """(Hybrid) BA-GMRES over a 2-D mesh with per-tile Pallas SpMV.
 
@@ -400,7 +423,13 @@ def ba_gmres_sharded_pallas_2d(
     ``B.T.tocsr()`` (ray-major — the compressible direction), applied with
     the transposed kernel.  ``lam``: None / scalar / "gcv" (per-iteration
     GCV-optimal lambda, replicated evaluation, zero extra collectives).
-    Returns the solution sharded over the col axis."""
+    ``x0``: optional n-length warm start (``r0 = B (b - A x0)``,
+    ``x = x0 + Q y`` — the restart building block; one extra tile SpMV at
+    setup).  ``resume_from``: a prior result of THIS solver — the
+    col-sharded basis, Hessenberg, iterate and row-sharded image basis
+    (``.IMG``) continue the Arnoldi recurrence exactly (pass the same
+    ``x0``/``lam``); state stays tile-sharded across the checkpoint
+    boundary.  Returns the solution sharded over the col axis."""
     from hybrid_gmres_tpu.solvers.gmres import _make_project_solve
 
     if mesh is None:
@@ -414,8 +443,15 @@ def ba_gmres_sharded_pallas_2d(
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    have_x0 = x0 is not None
+    if not have_x0:
+        x0 = jnp.zeros((n,), dtype=dtype)
+    if resume_from is None:
+        k0 = 0
+    else:
+        k0, resumed_active, rs = _resume_setup_2d(resume_from, maxit, False)
 
-    def solver(A_loc, BT_loc, b_loc, xt_loc):
+    def solver(A_loc, BT_loc, b_loc, xt_loc, x0_loc, *carry_in):
         nloc = n // pc
         mloc = m // pr
 
@@ -435,17 +471,25 @@ def ba_gmres_sharded_pallas_2d(
         b_norm = jnp.sqrt(pdot_m(b_loc, b_loc))
         xt_norm = jnp.sqrt(pdot_n(xt_loc, xt_loc))
 
-        r0_loc = B_mv(b_loc)
-        beta = jnp.sqrt(pdot_n(r0_loc, r0_loc))
+        # warm start: residual image space shifts to rhs = b - A x0 (one
+        # extra tile SpMV at setup only)
+        rhs_loc = b_loc - A_mv(x0_loc) if have_x0 else b_loc
+        if carry_in:
+            Q0, H0, xc0, niters0, IMG0, beta = carry_in
+            active0 = jnp.bool_(resumed_active)
+        else:
+            r0_loc = B_mv(rhs_loc)
+            beta = jnp.sqrt(pdot_n(r0_loc, r0_loc))
+            beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
+            active0 = beta > 0
+            Q0 = jnp.zeros((nloc, maxit + 1), dtype=dtype).at[:, 0].set(
+                jnp.where(beta > 0, r0_loc / beta_safe,
+                          jnp.zeros_like(r0_loc)))
+            H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
+            xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
+            niters0 = jnp.int32(0)
+            IMG0 = jnp.zeros((mloc, maxit), dtype=dtype)
         t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
-
-        beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
-        active0 = beta > 0
-        Q0 = jnp.zeros((nloc, maxit + 1), dtype=dtype).at[:, 0].set(
-            jnp.where(beta > 0, r0_loc / beta_safe, jnp.zeros_like(r0_loc)))
-        H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
-        x0 = jnp.zeros((nloc,), dtype=dtype)
-        IMG0 = jnp.zeros((mloc, maxit), dtype=dtype)
 
         _ps = _make_project_solve(lam, n, gcv_grid)
         project_solve = lambda H, kdim: _ps(H, None, t, kdim)
@@ -472,8 +516,8 @@ def ba_gmres_sharded_pallas_2d(
 
             kdim = k + 1
             y = project_solve(Hn, kdim)
-            xk_loc = Qn[:, :maxit] @ y
-            r_loc = b_loc - IMG @ y
+            xk_loc = x0_loc + Qn[:, :maxit] @ y
+            r_loc = rhs_loc - IMG @ y
             res_k = jnp.sqrt(pdot_m(r_loc, r_loc)) / b_norm
             d_loc = xk_loc - xt_loc
             err_k = jnp.sqrt(pdot_n(d_loc, d_loc)) / xt_norm
@@ -488,25 +532,39 @@ def ba_gmres_sharded_pallas_2d(
             active = active & ~stop
             return (Qn, Hn, x, active, niters, IMG), (res_rec, err_rec)
 
-        (Q, H, x, _, niters, _), (res_hist, err_hist) = jax.lax.scan(
-            body,
-            (Q0, H0, x0, active0, jnp.int32(0), IMG0),
-            jnp.arange(maxit, dtype=jnp.int32),
-        )
-        return x, err_hist, res_hist, niters, Q, H, beta
+        (Q, H, x, active_f, niters, IMG), (res_hist, err_hist) = \
+            jax.lax.scan(
+                body,
+                (Q0, H0, xc0, active0, niters0, IMG0),
+                jnp.arange(k0, maxit, dtype=jnp.int32),
+            )
+        return x, err_hist, res_hist, niters, Q, H, beta, IMG, active_f
 
+    base_specs = (P((ar, ac)), P((ar, ac)), P(ar), P(ac), P(ac))
+    carry_specs = (P(ac, None), P(), P(ac), P(), P(ar, None), P())
+    args = (A_tiles, Bp, b, x_true, x0)
+    in_specs = base_specs
+    if resume_from is not None:
+        in_specs = base_specs + carry_specs
+        args = args + (rs.Q, rs.H, rs.x, rs.niters, rs.IMG, rs.beta)
     f = jax.shard_map(
         solver,
         mesh=mesh,
-        in_specs=(P((ar, ac)), P((ar, ac)), P(ar), P(ac)),
-        out_specs=(P(ac), P(), P(), P(), P(ac, None), P(), P()),
+        in_specs=in_specs,
+        out_specs=(P(ac), P(), P(), P(), P(ac, None), P(), P(),
+                   P(ar, None), P()),
         check_vma=False,
     )
-    x, err_hist, res_hist, niters, Q, H, beta = f(
-        A_tiles, Bp, b, x_true)
+    x, err_new, res_new, niters, Q, H, beta, IMG, active_f = f(*args)
+    if resume_from is None:
+        res_hist, err_hist = res_new, err_new
+    else:
+        res_hist = jnp.concatenate([rs.res_hist[:k0], res_new])
+        err_hist = jnp.concatenate([rs.err_hist[:k0], err_new])
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
-    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=IMG,
+                       active=active_f)
 
 
 def ab_gmres_sharded_pallas_2d(
@@ -522,11 +580,17 @@ def ab_gmres_sharded_pallas_2d(
     axes=("rows", "cols"),
     interpret: bool = False,
     B_tiles: TiledPanels | None = None,
+    x0=None,
+    resume_from: GMRESResult | None = None,
 ) -> GMRESResult:
     """(Hybrid) AB-GMRES over the 2-D tiled panels: m-space basis sharded
     over the row axis (replicated over cols), image intermediates
     ``s_k = B q_k`` col-sharded and raw images ``w_k = A s_k`` row-sharded
-    (fused-residual schedule, no extra SpMVs or collectives)."""
+    (fused-residual schedule, no extra SpMVs or collectives).
+    ``x0``: optional warm start (``r0 = b - A x0``, ``x = x0 + S y``).
+    ``resume_from``: a prior result of this solver (row-sharded W images in
+    ``.IMG``, col-sharded solution images in ``.S``); same semantics as
+    the BA twin's resume."""
     from hybrid_gmres_tpu.solvers.gmres import _make_project_solve
 
     if mesh is None:
@@ -540,8 +604,15 @@ def ab_gmres_sharded_pallas_2d(
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    have_x0 = x0 is not None
+    if not have_x0:
+        x0 = jnp.zeros((n,), dtype=dtype)
+    if resume_from is None:
+        k0 = 0
+    else:
+        k0, resumed_active, rs = _resume_setup_2d(resume_from, maxit, True)
 
-    def solver(A_loc, BT_loc, b_loc, xt_loc):
+    def solver(A_loc, BT_loc, b_loc, xt_loc, x0_loc, *carry_in):
         nloc = n // pc
         mloc = m // pr
 
@@ -557,16 +628,23 @@ def ab_gmres_sharded_pallas_2d(
         b_norm = jnp.sqrt(pdot_m(b_loc, b_loc))
         xt_norm = jnp.sqrt(pdot_n(xt_loc, xt_loc))
 
-        beta = b_norm
+        rhs_loc = b_loc - A_mv(x0_loc) if have_x0 else b_loc
+        if carry_in:
+            Q0, H0, xc0, niters0, W0, S0, beta = carry_in
+            active0 = jnp.bool_(resumed_active)
+        else:
+            beta = jnp.sqrt(pdot_m(rhs_loc, rhs_loc))
+            beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
+            active0 = beta > 0
+            Q0 = jnp.zeros((mloc, maxit + 1), dtype=dtype).at[:, 0].set(
+                jnp.where(beta > 0, rhs_loc / beta_safe,
+                          jnp.zeros_like(rhs_loc)))
+            H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
+            xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
+            niters0 = jnp.int32(0)
+            S0 = jnp.zeros((nloc, maxit), dtype=dtype)
+            W0 = jnp.zeros((mloc, maxit), dtype=dtype)
         t = jnp.zeros((maxit + 1,), dtype=dtype).at[0].set(beta)
-        beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
-        active0 = beta > 0
-        Q0 = jnp.zeros((mloc, maxit + 1), dtype=dtype).at[:, 0].set(
-            jnp.where(beta > 0, b_loc / beta_safe, jnp.zeros_like(b_loc)))
-        H0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
-        x0 = jnp.zeros((nloc,), dtype=dtype)
-        S0 = jnp.zeros((nloc, maxit), dtype=dtype)
-        W0 = jnp.zeros((mloc, maxit), dtype=dtype)
 
         _ps = _make_project_solve(lam, m, gcv_grid)
         project_solve = lambda H, kdim: _ps(H, None, t, kdim)
@@ -594,8 +672,8 @@ def ab_gmres_sharded_pallas_2d(
 
             kdim = k + 1
             y = project_solve(Hn, kdim)
-            xk_loc = S @ y
-            r_loc = b_loc - W @ y
+            xk_loc = x0_loc + S @ y
+            r_loc = rhs_loc - W @ y
             res_k = jnp.sqrt(pdot_m(r_loc, r_loc)) / b_norm
             d_loc = xk_loc - xt_loc
             err_k = jnp.sqrt(pdot_n(d_loc, d_loc)) / xt_norm
@@ -610,22 +688,76 @@ def ab_gmres_sharded_pallas_2d(
             active = active & ~stop
             return (Qn, Hn, x, active, niters, S, W), (res_rec, err_rec)
 
-        (Q, H, x, _, niters, _, _), (res_hist, err_hist) = jax.lax.scan(
-            body,
-            (Q0, H0, x0, active0, jnp.int32(0), S0, W0),
-            jnp.arange(maxit, dtype=jnp.int32),
-        )
-        return x, err_hist, res_hist, niters, Q, H, beta
+        (Q, H, x, active_f, niters, S, W), (res_hist, err_hist) = \
+            jax.lax.scan(
+                body,
+                (Q0, H0, xc0, active0, niters0, S0, W0),
+                jnp.arange(k0, maxit, dtype=jnp.int32),
+            )
+        return x, err_hist, res_hist, niters, Q, H, beta, W, S, active_f
 
+    base_specs = (P((ar, ac)), P((ar, ac)), P(ar), P(ac), P(ac))
+    carry_specs = (P(ar, None), P(), P(ac), P(), P(ar, None),
+                   P(ac, None), P())
+    args = (A_tiles, Bp, b, x_true, x0)
+    in_specs = base_specs
+    if resume_from is not None:
+        in_specs = base_specs + carry_specs
+        args = args + (rs.Q, rs.H, rs.x, rs.niters, rs.IMG, rs.S, rs.beta)
     f = jax.shard_map(
         solver,
         mesh=mesh,
-        in_specs=(P((ar, ac)), P((ar, ac)), P(ar), P(ac)),
-        out_specs=(P(ac), P(), P(), P(), P(ar, None), P(), P()),
+        in_specs=in_specs,
+        out_specs=(P(ac), P(), P(), P(), P(ar, None), P(), P(),
+                   P(ar, None), P(ac, None), P()),
         check_vma=False,
     )
-    x, err_hist, res_hist, niters, Q, H, beta = f(
-        A_tiles, Bp, b, x_true)
+    x, err_new, res_new, niters, Q, H, beta, W, S, active_f = f(*args)
+    if resume_from is None:
+        res_hist, err_hist = res_new, err_new
+    else:
+        res_hist = jnp.concatenate([rs.res_hist[:k0], res_new])
+        err_hist = jnp.concatenate([rs.err_hist[:k0], err_new])
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
-    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta)
+    return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=W,
+                       S=S, active=active_f)
+
+
+def ba_gmres_sharded_pallas_2d_restarted(
+    A_tiles, BT_tiles, b, x_true=None, tol: float = 1e-6,
+    restart: int = 20, max_restarts: int = 10, lam=None, gcv_grid=None,
+    mesh: Mesh | None = None, axes=("rows", "cols"),
+    interpret: bool = False, B_tiles=None,
+) -> GMRESResult:
+    """Restarted 2-D tiled BA-GMRES(restart): memory-bounded Krylov cycles
+    on the 2-D layout; each cycle warm-starts from the previous col-sharded
+    solution with no resharding.  The outer loop is the SAME
+    ``solvers/gmres._restarted`` every other restarted wrapper uses
+    (the ``run_2D_phantom.m:121`` restarted surface on the scalable
+    layout)."""
+    from hybrid_gmres_tpu.solvers.gmres import _restarted
+
+    return _restarted(
+        lambda x0: ba_gmres_sharded_pallas_2d(
+            A_tiles, BT_tiles, b, x_true, tol=tol, maxit=int(restart),
+            lam=lam, gcv_grid=gcv_grid, mesh=mesh, axes=axes,
+            interpret=interpret, B_tiles=B_tiles, x0=x0),
+        max_restarts, tol)
+
+
+def ab_gmres_sharded_pallas_2d_restarted(
+    A_tiles, BT_tiles, b, x_true=None, tol: float = 1e-6,
+    restart: int = 20, max_restarts: int = 10, lam=None, gcv_grid=None,
+    mesh: Mesh | None = None, axes=("rows", "cols"),
+    interpret: bool = False, B_tiles=None,
+) -> GMRESResult:
+    """Restarted 2-D tiled AB-GMRES(restart) (see the BA twin)."""
+    from hybrid_gmres_tpu.solvers.gmres import _restarted
+
+    return _restarted(
+        lambda x0: ab_gmres_sharded_pallas_2d(
+            A_tiles, BT_tiles, b, x_true, tol=tol, maxit=int(restart),
+            lam=lam, gcv_grid=gcv_grid, mesh=mesh, axes=axes,
+            interpret=interpret, B_tiles=B_tiles, x0=x0),
+        max_restarts, tol)

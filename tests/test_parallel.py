@@ -1788,3 +1788,109 @@ def test_sharded_batched_forward_B_and_wire_dtype():
     with pytest.raises(ValueError, match="expects b of shape"):
         ba_gmres_sharded_batched(A_panels, BT_panels,
                                  jnp.asarray(b[:, 0]), maxit=4, mesh=mesh)
+
+
+# ---------------------------------------------------------------------------
+# 2-D tiled tier: warm start + resume + restarts (VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kind", ["ba", "ab"])
+def test_tiled_2d_warm_start_matches_single_chip(kind):
+    """x0 on the 2-D tiled solvers == the single-chip x0 semantics
+    (r0 from b - A x0, solution offset), carry kept tile-sharded."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu import ab_gmres
+    from hybrid_gmres_tpu.parallel import (
+        ab_gmres_sharded_pallas_2d, ba_gmres_sharded_pallas_2d,
+        make_mesh_2d, tile_bucketed_panels)
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 32, seed=11)
+    mesh2 = make_mesh_2d((4, 2))
+    A_t = tile_bucketed_panels(sp.csr_matrix(Ad), 4, 2)
+    BT_t = tile_bucketed_panels(sp.csr_matrix(Bd.T), 4, 2)
+    rng = np.random.default_rng(3)
+    x0 = (x_true + 0.2 * rng.standard_normal(x_true.shape)
+          ).astype(np.float32)
+    solver2d = (ba_gmres_sharded_pallas_2d if kind == "ba"
+                else ab_gmres_sharded_pallas_2d)
+    ref_solver = ba_gmres if kind == "ba" else ab_gmres
+    r_sh = solver2d(A_t, BT_t, jnp.asarray(b), jnp.asarray(x_true),
+                    tol=0.0, maxit=6, lam=1e-3, mesh=mesh2, interpret=True,
+                    x0=jnp.asarray(x0))
+    r_ref = ref_solver(jnp.asarray(Ad), jnp.asarray(Bd), jnp.asarray(b),
+                       jnp.asarray(x_true), tol=0.0, maxit=6, lam=1e-3,
+                       x0=jnp.asarray(x0))
+    np.testing.assert_allclose(
+        np.asarray(r_sh.res_hist),
+        np.asarray(r_ref.res_hist, dtype=np.float32), rtol=5e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.err_hist),
+        np.asarray(r_ref.err_hist, dtype=np.float32), rtol=5e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.x), np.asarray(r_ref.x, dtype=np.float32),
+        rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["ba", "ab"])
+def test_tiled_2d_resume_equals_uninterrupted(kind):
+    """resume(run(4), 8) == run(8) exactly on the 2-D tiled tier; state
+    stays tile-sharded across the checkpoint boundary."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ab_gmres_sharded_pallas_2d, ba_gmres_sharded_pallas_2d,
+        make_mesh_2d, tile_bucketed_panels)
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 32, seed=12)
+    mesh2 = make_mesh_2d((4, 2))
+    A_t = tile_bucketed_panels(sp.csr_matrix(Ad), 4, 2)
+    BT_t = tile_bucketed_panels(sp.csr_matrix(Bd.T), 4, 2)
+    solver2d = (ba_gmres_sharded_pallas_2d if kind == "ba"
+                else ab_gmres_sharded_pallas_2d)
+    bj, xtj = jnp.asarray(b), jnp.asarray(x_true)
+    full = solver2d(A_t, BT_t, bj, xtj, tol=0.0, maxit=8, lam=1e-3,
+                    mesh=mesh2, interpret=True)
+    part = solver2d(A_t, BT_t, bj, xtj, tol=0.0, maxit=4, lam=1e-3,
+                    mesh=mesh2, interpret=True)
+    resumed = solver2d(A_t, BT_t, bj, xtj, tol=0.0, maxit=8, lam=1e-3,
+                       mesh=mesh2, interpret=True, resume_from=part)
+    np.testing.assert_allclose(np.asarray(resumed.res_hist),
+                               np.asarray(full.res_hist), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(resumed.err_hist),
+                               np.asarray(full.err_hist), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(full.x),
+                               rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["ba", "ab"])
+def test_tiled_2d_restarted_matches_single_chip(kind):
+    """Restarted 2-D tiled GMRES == the single-chip restarted wrapper
+    (same _restarted outer loop, warm-started cycles on the 2-D layout —
+    the run_2D_phantom.m:121 restarted surface at scale)."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.solvers.gmres import (ab_gmres_restarted,
+                                                ba_gmres_restarted)
+    from hybrid_gmres_tpu.parallel import (
+        ab_gmres_sharded_pallas_2d_restarted,
+        ba_gmres_sharded_pallas_2d_restarted, make_mesh_2d,
+        tile_bucketed_panels)
+
+    Ad, Bd, b, x_true = _sparse_pair(64, 32, seed=13)
+    mesh2 = make_mesh_2d((4, 2))
+    A_t = tile_bucketed_panels(sp.csr_matrix(Ad), 4, 2)
+    BT_t = tile_bucketed_panels(sp.csr_matrix(Bd.T), 4, 2)
+    sh = (ba_gmres_sharded_pallas_2d_restarted if kind == "ba"
+          else ab_gmres_sharded_pallas_2d_restarted)
+    ref = ba_gmres_restarted if kind == "ba" else ab_gmres_restarted
+    r_sh = sh(A_t, BT_t, jnp.asarray(b), jnp.asarray(x_true), tol=1e-10,
+              restart=4, max_restarts=2, lam=1e-3, mesh=mesh2,
+              interpret=True)
+    r_ref = ref(jnp.asarray(Ad), jnp.asarray(Bd), jnp.asarray(b),
+                jnp.asarray(x_true), tol=1e-10, restart=4, max_restarts=2,
+                lam=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.res_hist),
+        np.asarray(r_ref.res_hist, dtype=np.float32), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.err_hist),
+        np.asarray(r_ref.err_hist, dtype=np.float32), rtol=1e-4, atol=1e-6)
