@@ -140,6 +140,31 @@ def _collectives(axis, dtype):
     return pdot, pnorm, pnormalize
 
 
+def _make_purify(axis):
+    """Distributed CGS2 purification against a stored sharded basis (the
+    ``reorth=True`` mode): each pass is one fused psum of all stored
+    coefficients — the sharded twin of the single-chip ``_purify``
+    (solvers/lsqr.py)."""
+    def purify(Basis_loc, vec_loc):
+        vec_loc = vec_loc - Basis_loc @ jax.lax.psum(
+            Basis_loc.T @ vec_loc, axis)
+        return vec_loc - Basis_loc @ jax.lax.psum(
+            Basis_loc.T @ vec_loc, axis)
+    return purify
+
+
+def _grow_bases(carry, maxit, idx):
+    """Pad the stored reorth bases of a resumed carry (global arrays,
+    applied OUTSIDE shard_map) out to the new ``maxit + 1`` budget.
+    ``idx``: positions of the basis leaves in the carry tuple."""
+    carry = list(carry)
+    for i in idx:
+        extra = maxit + 1 - carry[i].shape[1]
+        if extra > 0:
+            carry[i] = jnp.pad(carry[i], ((0, 0), (0, extra)))
+    return tuple(carry)
+
+
 def _specs(is_panels, axis):
     A_spec = P(axis) if is_panels else P(axis, None)
     return (A_spec, P(axis), P(axis))
@@ -156,6 +181,7 @@ def lsqr_sharded(
     interpret: bool = False,
     resume_from=None,
     x0=None,
+    reorth: bool = False,
 ) -> GKBResult:
     """Sharded LSQR (``lsqr_solver.m:20-47`` semantics: cheap per-iteration
     residual estimate ``|phi_bar|/||b||`` with the final entry patched to the
@@ -169,7 +195,12 @@ def lsqr_sharded(
     ``x0``: optional n-length (replicated) warm start — the GKB runs on
     ``b - A x0`` with the iterate carried in x-space, so residual/error
     records and the final patch need no remapping (see the single-chip
-    ``lsqr``)."""
+    ``lsqr``).
+    ``reorth=True``: full CGS2 reorthogonalization against the SHARDED
+    stored bases (U m-sharded, V n-sharded; two fused psums per purify
+    pass) — holds the full-depth equivalence oracles
+    (``run_equivalence_plots.m:26-47``) at scale; pass the same ``reorth``
+    when resuming."""
     from hybrid_gmres_tpu.solvers.common import GKBState
 
     mesh, p, m, n, maxit, is_panels = _prep(A, b, maxit, mesh, axis)
@@ -188,7 +219,9 @@ def lsqr_sharded(
         matvec, rmatvec, _ = _local_ops(A_loc, is_panels, axis, dtype,
                                         interpret)
         pdot, pnorm, pnormalize = _collectives(axis, dtype)
+        purify = _make_purify(axis)
         nloc = n // p
+        mloc = m // p
 
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
@@ -202,12 +235,24 @@ def lsqr_sharded(
             xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
             carry0 = (xc0, u, v, w, beta, alpha, alpha, jnp.bool_(True),
                       jnp.int32(0))
+            if reorth:
+                U0 = jnp.zeros((mloc, maxit + 1), dtype).at[:, 0].set(u)
+                V0 = jnp.zeros((nloc, maxit + 1), dtype).at[:, 0].set(v)
+                carry0 = carry0 + (U0, V0)
 
         def step(carry, k):
-            x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters = carry
+            if reorth:
+                (x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters,
+                 U, V) = carry
+            else:
+                x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters = carry
             uhat = matvec(v) - alpha_c * u
+            if reorth:
+                uhat = purify(U, uhat)
             u_n, beta_k, ok_u = pnormalize(uhat)
             vhat = rmatvec(u_n) - beta_k * v
+            if reorth:
+                vhat = purify(V, vhat)
             v_n, alpha_n, ok_v = pnormalize(vhat)
 
             rho = jnp.hypot(rho_bar, beta_k)
@@ -238,8 +283,12 @@ def lsqr_sharded(
             err_rec = jnp.where(adopt, err_k, nan)
             niters = jnp.where(adopt, k + 1, niters)
             active = adopt & (res_k > tol)
-            return (x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters), \
-                (res_rec, err_rec)
+            out = (x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters)
+            if reorth:
+                U = jax.lax.select(adopt, U.at[:, k + 1].set(u_n), U)
+                V = jax.lax.select(adopt, V.at[:, k + 1].set(v_n), V)
+                out = out + (U, V)
+            return out, (res_rec, err_rec)
 
         carry_out, (res_hist, err_hist) = jax.lax.scan(
             step, carry0, jnp.arange(k0, maxit, dtype=jnp.int32))
@@ -251,11 +300,22 @@ def lsqr_sharded(
 
     carry_specs = (P(axis), P(axis), P(axis), P(axis),  # x, u, v, w
                    P(), P(), P(), P(), P())             # scalars/flags
+    if reorth:
+        carry_specs = carry_specs + (P(axis, None), P(axis, None))
     in_specs = _specs(is_panels, axis) + (P(axis),)
     args = (A, b, x_true, x0)
     if resume_from is not None:
+        rc = resume_from.carry
+        if reorth:
+            if len(rc) != len(carry_specs):
+                raise ValueError("resume_from state was saved without "
+                                 "reorth bases; pass the same reorth=")
+            rc = _grow_bases(rc, maxit, (9, 10))
+        elif len(rc) != len(carry_specs):
+            raise ValueError("resume_from state carries reorth bases; "
+                             "pass reorth=True")
         in_specs = in_specs + carry_specs
-        args = args + tuple(resume_from.carry)
+        args = args + tuple(rc)
     f = jax.shard_map(
         solver, mesh=mesh, in_specs=in_specs,
         out_specs=(P(axis), P(), P(), P(), P(), carry_specs),
@@ -286,23 +346,44 @@ def hybrid_lsqr_sharded(
     mesh: Mesh | None = None,
     axis: str = "rows",
     interpret: bool = False,
+    x0=None,
+    resume_from=None,
+    reorth: bool = False,
 ) -> GKBResult:
     """Sharded LSQR on the Tikhonov-augmented system ``[A; sqrt(lam) I]``
     (``hybrid_lsqr_solver.m:5-6``).  The augmented u-vector lives as an
     (m-sharded, n-sharded) pair — the sqrt(lam)·I block is shard-diagonal so
     it costs no communication; the per-iteration residual is tracked against
-    the UNAUGMENTED system (``hybrid_lsqr_solver.m:43``, one extra matvec)."""
+    the UNAUGMENTED system (``hybrid_lsqr_solver.m:43``, one extra matvec).
+
+    ``x0``: optional n-length (replicated) warm start — the EXACT Tikhonov
+    restart of the single-chip ``hybrid_lsqr``: augmented GKB on
+    ``[b - A x0; -sqrt(lam) x0]`` with ``x = x0 + d`` (the regularizer
+    still acts on the full ``x``).  ``resume_from``: a prior sharded
+    result's ``.state`` (same ``x0``/``lam``/``reorth``) — the carried
+    correction stays sharded; ``resume(run(k), K) == run(K)`` exactly.
+    ``reorth=True``: full CGS2 reorthogonalization of the augmented
+    (Um, Un) and V bases (sharded, fused psums)."""
+    from hybrid_gmres_tpu.solvers.common import GKBState
+
     mesh, p, m, n, maxit, is_panels = _prep(A, b, maxit, mesh, axis)
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    have_x0 = x0 is not None
+    if not have_x0:
+        x0 = jnp.zeros((n,), dtype=dtype)
+    k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
+    if resume_from is not None and k0 >= maxit:
+        raise ValueError(f"resume needs maxit > {k0}")
 
-    def solver(A_loc, b_loc, xt_loc):
+    def solver(A_loc, b_loc, xt_loc, x0_loc, *carry_in):
         matvec, rmatvec, _ = _local_ops(A_loc, is_panels, axis, dtype,
                                         interpret)
         pdot, pnorm, _ = _collectives(axis, dtype)
         nloc = n // p
+        mloc = m // p
         sql = jnp.sqrt(jnp.asarray(lam, dtype))
 
         def aug_matvec(v_loc):
@@ -328,20 +409,54 @@ def hybrid_lsqr_sharded(
             safe = jnp.where(ok, nrm, jnp.ones((), dtype))
             return jnp.where(ok, v_loc / safe, jnp.zeros_like(v_loc)), nrm, ok
 
+        def purify_pair(Um, Un, vm, vn):
+            # CGS2 on the augmented basis pair: ONE fused psum carries both
+            # block coefficients per pass
+            c1 = jax.lax.psum(Um.T @ vm + Un.T @ vn, axis)
+            vm, vn = vm - Um @ c1, vn - Un @ c1
+            c2 = jax.lax.psum(Um.T @ vm + Un.T @ vn, axis)
+            return vm - Um @ c2, vn - Un @ c2
+
+        purify = _make_purify(axis)
+
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
-        um, un, beta, _ = aug_normalize(b_loc, jnp.zeros((nloc,), dtype))
-        v, alpha, _ = v_normalize(aug_rmatvec(um, un))
-        w = v
-        x0 = jnp.zeros((nloc,), dtype=dtype)
+        if carry_in:
+            carry0 = carry_in
+        else:
+            if have_x0:
+                um0_loc = b_loc - matvec(x0_loc)
+                un0_loc = -sql * x0_loc
+            else:
+                um0_loc = b_loc
+                un0_loc = jnp.zeros((nloc,), dtype)
+            um, un, beta, _ = aug_normalize(um0_loc, un0_loc)
+            v, alpha, _ = v_normalize(aug_rmatvec(um, un))
+            w = v
+            d0 = jnp.zeros((nloc,), dtype=dtype)
+            carry0 = (d0, um, un, v, w, beta, alpha, alpha, jnp.bool_(True),
+                      jnp.int32(0))
+            if reorth:
+                Um0 = jnp.zeros((mloc, maxit + 1), dtype).at[:, 0].set(um)
+                Un0 = jnp.zeros((nloc, maxit + 1), dtype).at[:, 0].set(un)
+                V0 = jnp.zeros((nloc, maxit + 1), dtype).at[:, 0].set(v)
+                carry0 = carry0 + (Um0, Un0, V0)
 
         def step(carry, k):
-            (x, um, un, v, w, phi_bar, rho_bar, alpha_c, active,
-             niters) = carry
+            if reorth:
+                (x, um, un, v, w, phi_bar, rho_bar, alpha_c, active,
+                 niters, Um, Un, V) = carry
+            else:
+                (x, um, un, v, w, phi_bar, rho_bar, alpha_c, active,
+                 niters) = carry
             mv_m, mv_n = aug_matvec(v)
-            u_nm, u_nn, beta_k, ok_u = aug_normalize(
-                mv_m - alpha_c * um, mv_n - alpha_c * un)
+            uhat_m, uhat_n = mv_m - alpha_c * um, mv_n - alpha_c * un
+            if reorth:
+                uhat_m, uhat_n = purify_pair(Um, Un, uhat_m, uhat_n)
+            u_nm, u_nn, beta_k, ok_u = aug_normalize(uhat_m, uhat_n)
             vhat = aug_rmatvec(u_nm, u_nn) - beta_k * v
+            if reorth:
+                vhat = purify(V, vhat)
             v_n, alpha_n, ok_v = v_normalize(vhat)
 
             rho = jnp.hypot(rho_bar, beta_k)
@@ -355,8 +470,8 @@ def hybrid_lsqr_sharded(
             x_n = x + (phi / rho) * w
             w_n = v_n - (theta / rho) * w
 
-            res_k = pnorm(b_loc - matvec(x_n)) / b_norm
-            err_k = pnorm(x_n - xt_loc) / xt_norm
+            res_k = pnorm(b_loc - matvec(x0_loc + x_n)) / b_norm
+            err_k = pnorm(x0_loc + x_n - xt_loc) / xt_norm
 
             ok = ok_u & ok_v
             adopt = active & ok
@@ -373,23 +488,51 @@ def hybrid_lsqr_sharded(
             err_rec = jnp.where(adopt, err_k, nan)
             niters = jnp.where(adopt, k + 1, niters)
             active = adopt & (res_k > tol)
-            return (x, um, un, v, w, phi_bar, rho_bar, alpha_c, active,
-                    niters), (res_rec, err_rec)
+            out = (x, um, un, v, w, phi_bar, rho_bar, alpha_c, active,
+                   niters)
+            if reorth:
+                Um = jax.lax.select(adopt, Um.at[:, k + 1].set(u_nm), Um)
+                Un = jax.lax.select(adopt, Un.at[:, k + 1].set(u_nn), Un)
+                V = jax.lax.select(adopt, V.at[:, k + 1].set(v_n), V)
+                out = out + (Um, Un, V)
+            return out, (res_rec, err_rec)
 
-        carry0 = (x0, um, un, v, w, beta, alpha, alpha, jnp.bool_(True),
-                  jnp.int32(0))
-        (x, *_rest, niters), (res_hist, err_hist) = jax.lax.scan(
-            step, carry0, jnp.arange(maxit, dtype=jnp.int32))
-        return x, err_hist, res_hist, niters
+        carry_out, (res_hist, err_hist) = jax.lax.scan(
+            step, carry0, jnp.arange(k0, maxit, dtype=jnp.int32))
+        x = x0_loc + carry_out[0]
+        niters = carry_out[9]
+        return x, err_hist, res_hist, niters, carry_out
 
+    carry_specs = (P(axis), P(axis), P(axis), P(axis), P(axis),
+                   P(), P(), P(), P(), P())
+    if reorth:
+        carry_specs = carry_specs + (P(axis, None), P(axis, None),
+                                     P(axis, None))
+    in_specs = _specs(is_panels, axis) + (P(axis),)
+    args = (A, b, x_true, x0)
+    if resume_from is not None:
+        rc = resume_from.carry
+        if len(rc) != len(carry_specs):
+            raise ValueError("resume_from state does not match reorth=; "
+                             "pass the same reorth as the original run")
+        if reorth:
+            rc = _grow_bases(rc, maxit, (10, 11, 12))
+        in_specs = in_specs + carry_specs
+        args = args + tuple(rc)
     f = jax.shard_map(
-        solver, mesh=mesh, in_specs=_specs(is_panels, axis),
-        out_specs=(P(axis), P(), P(), P()), check_vma=False)
-    x, err_hist, res_hist, niters = f(A, b, x_true)
+        solver, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(axis), P(), P(), P(), carry_specs), check_vma=False)
+    x, err_new, res_new, niters, carry_out = f(*args)
+    if resume_from is None:
+        res_hist, err_hist = res_new, err_new
+    else:
+        res_hist = jnp.concatenate([resume_from.res_hist, res_new])
+        err_hist = jnp.concatenate([resume_from.err_hist, err_new])
+    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
-                     niters=niters)
+                     niters=niters, state=state)
 
 
 def lsmr_sharded(
@@ -402,12 +545,19 @@ def lsmr_sharded(
     axis: str = "rows",
     interpret: bool = False,
     x0=None,
+    resume_from=None,
+    reorth: bool = False,
 ) -> GKBResult:
     """Sharded LSMR (``lsmr_solver.m:32-77``): GKB + double plane rotations,
     with the TRUE residual and ``||A^T r||`` histories per iteration.
     ``x0``: optional n-length (replicated) warm start — the GKB runs on
     ``b - A x0`` with the iterate carried in x-space (see the single-chip
-    ``lsmr``)."""
+    ``lsmr``).  ``resume_from``: a prior sharded result's ``.state`` (same
+    ``x0``/``reorth``) — sharded carry, ``resume(run(k), K) == run(K)``
+    exactly.  ``reorth=True``: full CGS2 reorthogonalization against the
+    sharded stored bases."""
+    from hybrid_gmres_tpu.solvers.common import GKBState
+
     mesh, p, m, n, maxit, is_panels = _prep(A, b, maxit, mesh, axis)
     dtype = b.dtype
     eps = jnp.finfo(dtype).eps
@@ -417,29 +567,38 @@ def lsmr_sharded(
     have_x0 = x0 is not None
     if not have_x0:
         x0 = jnp.zeros((n,), dtype=dtype)
+    k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
+    if resume_from is not None and k0 >= maxit:
+        raise ValueError(f"resume needs maxit > {k0}")
 
-    def solver(A_loc, b_loc, xt_loc, x0_loc):
+    def solver(A_loc, b_loc, xt_loc, x0_loc, *carry_in):
         matvec, rmatvec, fro_sq_loc = _local_ops(A_loc, is_panels, axis,
                                                  dtype, interpret)
         pdot, pnorm, pnormalize = _collectives(axis, dtype)
+        purify = _make_purify(axis)
         nloc = n // p
+        mloc = m // p
         fro_norm = jnp.sqrt(jax.lax.psum(fro_sq_loc, axis))
 
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
-        rhs_loc = b_loc - matvec(x0_loc) if have_x0 else b_loc
-        u, beta1, _ = pnormalize(rhs_loc)
-        v, alpha1, _ = pnormalize(rmatvec(u))
-        xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
-        h0 = v
-        hbar0 = jnp.zeros((nloc,), dtype=dtype)
 
         def step(carry, k):
-            (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar, cbar,
-             sbar, active, niters) = carry
+            if reorth:
+                (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar,
+                 cbar, sbar, active, niters, U, V) = carry
+            else:
+                (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar,
+                 cbar, sbar, active, niters) = carry
 
-            u_n, beta_k, ok_u = pnormalize(matvec(v) - alpha * u)
-            v_n, alpha_n, ok_v = pnormalize(rmatvec(u_n) - beta_k * v)
+            uhat = matvec(v) - alpha * u
+            if reorth:
+                uhat = purify(U, uhat)
+            u_n, beta_k, ok_u = pnormalize(uhat)
+            vhat = rmatvec(u_n) - beta_k * v
+            if reorth:
+                vhat = purify(V, vhat)
+            v_n, alpha_n, ok_v = pnormalize(vhat)
 
             alphahat = alphabar
             rhoold = rho
@@ -487,29 +646,70 @@ def lsmr_sharded(
             ar_rec = jnp.where(adopt, ar_k, nan)
             niters = jnp.where(adopt, k + 1, niters)
             active = adopt & (res_k >= tol)
-            return (
-                (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar,
-                 cbar, sbar, active, niters),
-                (res_rec, err_rec, ar_rec),
+            out = (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar,
+                   cbar, sbar, active, niters)
+            if reorth:
+                U = jax.lax.select(adopt, U.at[:, k + 1].set(u_n), U)
+                V = jax.lax.select(adopt, V.at[:, k + 1].set(v_n), V)
+                out = out + (U, V)
+            return out, (res_rec, err_rec, ar_rec)
+
+        if carry_in:
+            carry0 = carry_in
+        else:
+            rhs_loc = b_loc - matvec(x0_loc) if have_x0 else b_loc
+            u, beta1, _ = pnormalize(rhs_loc)
+            v, alpha1, _ = pnormalize(rmatvec(u))
+            xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
+            h0 = v
+            hbar0 = jnp.zeros((nloc,), dtype=dtype)
+            one = jnp.ones((), dtype)
+            carry0 = (
+                xc0, u, v, h0, hbar0, alpha1, alpha1 * beta1, alpha1, one,
+                one, one, jnp.zeros((), dtype), jnp.bool_(True),
+                jnp.int32(0),
             )
+            if reorth:
+                U0 = jnp.zeros((mloc, maxit + 1), dtype).at[:, 0].set(u)
+                V0 = jnp.zeros((nloc, maxit + 1), dtype).at[:, 0].set(v)
+                carry0 = carry0 + (U0, V0)
+        carry_out, (res_hist, err_hist, ar_hist) = jax.lax.scan(
+            step, carry0, jnp.arange(k0, maxit, dtype=jnp.int32))
+        x, niters = carry_out[0], carry_out[13]
+        return x, err_hist, res_hist, niters, ar_hist, carry_out
 
-        one = jnp.ones((), dtype)
-        carry0 = (
-            xc0, u, v, h0, hbar0, alpha1, alpha1 * beta1, alpha1, one, one,
-            one, jnp.zeros((), dtype), jnp.bool_(True), jnp.int32(0),
-        )
-        (x, *_rest, niters), (res_hist, err_hist, ar_hist) = jax.lax.scan(
-            step, carry0, jnp.arange(maxit, dtype=jnp.int32))
-        return x, err_hist, res_hist, niters, ar_hist
-
+    carry_specs = (P(axis), P(axis), P(axis), P(axis), P(axis),
+                   P(), P(), P(), P(), P(), P(), P(), P(), P())
+    if reorth:
+        carry_specs = carry_specs + (P(axis, None), P(axis, None))
+    in_specs = _specs(is_panels, axis) + (P(axis),)
+    args = (A, b, x_true, x0)
+    if resume_from is not None:
+        rc = resume_from.carry
+        if len(rc) != len(carry_specs):
+            raise ValueError("resume_from state does not match reorth=; "
+                             "pass the same reorth as the original run")
+        if reorth:
+            rc = _grow_bases(rc, maxit, (14, 15))
+        in_specs = in_specs + carry_specs
+        args = args + tuple(rc)
     f = jax.shard_map(
-        solver, mesh=mesh, in_specs=_specs(is_panels, axis) + (P(axis),),
-        out_specs=(P(axis), P(), P(), P(), P()), check_vma=False)
-    x, err_hist, res_hist, niters, ar_hist = f(A, b, x_true, x0)
+        solver, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(axis), P(), P(), P(), P(), carry_specs),
+        check_vma=False)
+    x, err_new, res_new, niters, ar_new, carry_out = f(*args)
+    if resume_from is None:
+        res_hist, err_hist, ar_hist = res_new, err_new, ar_new
+    else:
+        res_hist = jnp.concatenate([resume_from.res_hist, res_new])
+        err_hist = jnp.concatenate([resume_from.err_hist, err_new])
+        ar_hist = jnp.concatenate([resume_from.ar_hist, ar_new])
+    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist,
+                     ar_hist=ar_hist)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
-                     niters=niters, ar_hist=ar_hist)
+                     niters=niters, ar_hist=ar_hist, state=state)
 
 
 def hybrid_lsmr_sharded(
@@ -524,6 +724,7 @@ def hybrid_lsmr_sharded(
     axis: str = "rows",
     interpret: bool = False,
     gcv_grid=None,
+    reorth: bool = False,
 ) -> GKBResult:
     """Sharded hybrid LSMR: GKB with the right basis V row-sharded over the
     image axis, bidiagonal B_k replicated, and the per-iteration shifted
@@ -532,6 +733,10 @@ def hybrid_lsmr_sharded(
     ``lam``: scalar, or ``"gcv"`` — HyBR-style per-iteration adaptive
     selection on the replicated projected bidiagonal problem (every shard
     picks the same lambda, zero extra collectives).
+
+    ``reorth=True``: full CGS2 reorthogonalization of both sharded GKB
+    bases — holds the hybrid BA-GMRES == hybrid LSMR equivalence
+    (``run_equivalence_plots.m:48-58``) to FULL history depth at scale.
 
     Unlike the single-chip variant's ``lax.cond``, the final-iteration basis
     advance always executes (its collectives must run on every shard) and
@@ -552,7 +757,9 @@ def hybrid_lsmr_sharded(
         matvec, rmatvec, _ = _local_ops(A_loc, is_panels, axis, dtype,
                                         interpret)
         pdot, pnorm, pnormalize = _collectives(axis, dtype)
+        purify = _make_purify(axis)
         nloc = n // p
+        mloc = m // p
 
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
@@ -561,25 +768,34 @@ def hybrid_lsmr_sharded(
         V0 = jnp.zeros((nloc, maxit), dtype=dtype).at[:, 0].set(v)
         Bmat0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
         x0 = jnp.zeros((nloc,), dtype=dtype)
+        U0 = (jnp.zeros((mloc, maxit + 1), dtype).at[:, 0].set(u)
+              if reorth else jnp.zeros((0, 0), dtype))
 
         def step(carry, k):
-            x, u, v, V, Bmat, alpha, active, niters = carry
+            x, u, v, V, Bmat, alpha, active, niters, U = carry
             kdim = k + 1
 
             Bmat_n = Bmat.at[k, k].set(alpha)
-            u_n, beta_k, ok_u = pnormalize(matvec(v) - alpha * u)
+            uhat = matvec(v) - alpha * u
+            if reorth:
+                uhat = purify(U, uhat)
+            u_n, beta_k, ok_u = pnormalize(uhat)
             Bmat_n = Bmat_n.at[k + 1, k].set(beta_k)
 
             # Always run the advance (collectives must execute on every
             # shard every iteration); the final iteration keeps the stale
             # alpha/v via selects (hybrid_lsmr_solver.m:26-33 semantics).
-            v2, alpha2, ok2 = pnormalize(rmatvec(u_n) - beta_k * v)
+            vhat = rmatvec(u_n) - beta_k * v
+            if reorth:
+                vhat = purify(V, vhat)
+            v2, alpha2, ok2 = pnormalize(vhat)
             adv = k < maxit - 1
             v_n = jax.lax.select(adv, v2, v)
             alpha_n = jnp.where(adv, alpha2, alpha)
             ok_v = jnp.where(adv, ok2, jnp.bool_(True))
             V_n = jax.lax.select(
                 adv, V.at[:, jnp.minimum(k + 1, maxit - 1)].set(v2), V)
+            U_n = U.at[:, k + 1].set(u_n) if reorth else U
 
             y = _hybrid_lsmr_projected(
                 Bmat_n, alpha_n, beta_k, alpha1 * beta1,
@@ -597,17 +813,21 @@ def hybrid_lsmr_sharded(
             v = jax.lax.select(adopt, v_n, v)
             V = jax.lax.select(adopt, V_n, V)
             Bmat = jax.lax.select(adopt, Bmat_n, Bmat)
+            if reorth:
+                U = jax.lax.select(adopt, U_n, U)
             alpha = jnp.where(adopt, alpha_n, alpha)
             res_rec = jnp.where(adopt, res_k, nan)
             err_rec = jnp.where(adopt, err_k, nan)
             niters = jnp.where(adopt, kdim, niters)
             active = adopt & (res_k > tol)
-            return (x, u, v, V, Bmat, alpha, active, niters), \
+            return (x, u, v, V, Bmat, alpha, active, niters, U), \
                 (res_rec, err_rec)
 
-        carry0 = (x0, u, v, V0, Bmat0, alpha1, jnp.bool_(True), jnp.int32(0))
-        (x, *_rest, niters), (res_hist, err_hist) = jax.lax.scan(
+        carry0 = (x0, u, v, V0, Bmat0, alpha1, jnp.bool_(True),
+                  jnp.int32(0), U0)
+        (x, *_rest), (res_hist, err_hist) = jax.lax.scan(
             step, carry0, jnp.arange(maxit, dtype=jnp.int32))
+        niters = _rest[6]
         return x, err_hist, res_hist, niters
 
     f = jax.shard_map(
