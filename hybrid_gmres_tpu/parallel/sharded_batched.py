@@ -93,9 +93,20 @@ def _sharded_batched(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam,
         x0 = jnp.zeros((n, R_total), dtype)
 
     trace_dim = n if kind == "ba" else m
-    _ps = _make_project_solve(lam, trace_dim, gcv_grid)
-    solve_r = jax.vmap(lambda H, t, kdim: _ps(H, None, t, kdim),
-                       in_axes=(2, 1, None), out_axes=1)
+    gcv_final = isinstance(lam, str) and lam == "gcv-final"
+    if gcv_final:
+        if not defer_histories:
+            raise ValueError("lam='gcv-final' requires "
+                             "defer_histories=True (see ba_gmres_batched)")
+        from hybrid_gmres_tpu.solvers.batched import _make_select_lam
+
+        select_lam = _make_select_lam(trace_dim, gcv_grid)
+        solve_r = None
+    else:
+        select_lam = None
+        _ps = _make_project_solve(lam, trace_dim, gcv_grid)
+        solve_r = jax.vmap(lambda H, t, kdim: _ps(H, None, t, kdim),
+                           in_axes=(2, 1, None), out_axes=1)
 
     def solver(A_loc, B_loc, b_loc, xt_loc, x0_loc):
         nloc = n // p
@@ -193,7 +204,20 @@ def _sharded_batched(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam,
             broke = jnp.any(bkds, axis=0)
 
             ks = jnp.arange(1, maxit + 1, dtype=jnp.int32)
-            Y = jax.vmap(lambda kd: solve_r(H, t, kd))(ks)   # (k, maxit, R)
+            if select_lam is not None:
+                # gcv-final: H/t are replicated, so every shard selects
+                # the same per-RHS lambda with zero extra collectives
+                from hybrid_gmres_tpu.krylov.projected import (
+                    projected_tikhonov_solve)
+
+                lam_r = select_lam(H, t, nsteps)
+                solve_rl = jax.vmap(
+                    lambda Hr, tr, l, kd: projected_tikhonov_solve(
+                        Hr, tr, l, kd),
+                    in_axes=(2, 1, 0, None), out_axes=1)
+                Y = jax.vmap(lambda kd: solve_rl(H, t, lam_r, kd))(ks)
+            else:
+                Y = jax.vmap(lambda kd: solve_r(H, t, kd))(ks)
 
             # HIGHEST: post-scan einsums must reproduce the in-scan
             # matvecs (see solvers/batched.py)

@@ -34,6 +34,35 @@ from hybrid_gmres_tpu.solvers.common import GMRESResult
 from hybrid_gmres_tpu.solvers.gmres import _make_project_solve
 
 
+def _make_select_lam(trace_dim, gcv_grid):
+    """Per-RHS ONE-SHOT GCV selector (``lam="gcv-final"``): pick, for each
+    RHS, the lambda minimizing the GCV functional of its FINAL projected
+    problem — 2 SVDs per RHS total, vs 2 per (k, RHS) for the per-iteration
+    ``lam="gcv"`` (measured ~10x the fixed-lambda cost at R=8, DESIGN §13).
+    The serving-grade adaptive mode: the per-k solves then run at that
+    fixed per-RHS lambda, costing the same as a scalar ``lam``.  Anchored
+    to the reference's GCV-selection-as-part-of-the-solve flow
+    (``analyze_regularization.m:37-46``)."""
+    from hybrid_gmres_tpu.reg.gcv import gcv_factors, gcv_from_factors
+
+    def select(H, t, nsteps):
+        import numpy as np
+
+        grid = jnp.asarray(
+            np.logspace(-8, -1, 50) if gcv_grid is None else gcv_grid,
+            H.dtype)
+
+        def one(Hr, tr, kd):
+            f = gcv_factors(Hr, tr, kd)
+            vals = jax.vmap(lambda l: gcv_from_factors(f, l, trace_dim)
+                            )(grid)
+            return grid[jnp.argmin(vals)]
+
+        return jax.vmap(one, in_axes=(2, 1, 0))(H, t, nsteps)
+
+    return select
+
+
 def _pad_batched(res: GMRESResult, maxit: int):
     """Pad a batched checkpoint's maxit axes out to a larger budget."""
     maxit1 = res.res_hist.shape[0]
@@ -181,7 +210,7 @@ def _batched_core(first_mm, second_mm, r0, rhs, b_norm, project_solve,
 
 def _batched_core_deferred(first_mm, second_mm, r0, rhs, b_norm,
                            project_solve, solution, x_true, maxit, tol,
-                           img_stage, x_offset=None):
+                           img_stage, x_offset=None, select_lam=None):
     """Deferred-histories batched scan (the multi-RHS twin of
     ``_gmres_core_deferred``): the scan runs ONLY the Arnoldi expansion
     (SpMM + CGS2 + image stacking); the per-(k, RHS) projected solves
@@ -229,8 +258,20 @@ def _batched_core_deferred(first_mm, second_mm, r0, rhs, b_norm,
     broke = jnp.any(bkds, axis=0)                           # (R,)
 
     ks = jnp.arange(1, maxit + 1, dtype=jnp.int32)
-    solve_r = jax.vmap(project_solve, in_axes=(2, 1, None), out_axes=1)
-    Y = jax.vmap(lambda kd: solve_r(H, t, kd))(ks)          # (k, maxit, R)
+    if select_lam is not None:
+        # gcv-final: ONE GCV selection per RHS (from its final projected
+        # problem), then fixed-lambda Tikhonov solves for every k
+        from hybrid_gmres_tpu.krylov.projected import (
+            projected_tikhonov_solve)
+
+        lam_r = select_lam(H, t, nsteps)                    # (R,)
+        solve_rl = jax.vmap(
+            lambda Hr, tr, l, kd: projected_tikhonov_solve(Hr, tr, l, kd),
+            in_axes=(2, 1, 0, None), out_axes=1)
+        Y = jax.vmap(lambda kd: solve_rl(H, t, lam_r, kd))(ks)
+    else:
+        solve_r = jax.vmap(project_solve, in_axes=(2, 1, None), out_axes=1)
+        Y = jax.vmap(lambda kd: solve_r(H, t, kd))(ks)      # (k, maxit, R)
 
     # HIGHEST: the one-time post-scan einsums must reproduce the in-scan
     # per-iteration matvecs — at the TPU's DEFAULT f32 precision (bf16
@@ -344,8 +385,20 @@ def _batched_solver(kind, A, B, b, x_true, tol, maxit, lam, gcv_grid,
         resume_from = _pad_batched(resume_from, maxit)
 
     trace_dim = n if kind == "ba" else m
-    _ps = _make_project_solve(lam, trace_dim, gcv_grid)
-    project_solve = lambda H, t, kdim: _ps(H, None, t, kdim)
+    gcv_final = isinstance(lam, str) and lam == "gcv-final"
+    if gcv_final:
+        if not defer_histories:
+            raise ValueError(
+                "lam='gcv-final' requires defer_histories=True — it "
+                "selects lambda once per RHS from the final projected "
+                "problem, which only exists post-scan (the serving mode); "
+                "use lam='gcv' for per-iteration adaptive selection")
+        project_solve = None
+        select_lam = _make_select_lam(trace_dim, gcv_grid)
+    else:
+        _ps = _make_project_solve(lam, trace_dim, gcv_grid)
+        project_solve = lambda H, t, kdim: _ps(H, None, t, kdim)
+        select_lam = None
     b_norm = jnp.linalg.norm(b, axis=0)
 
     parts = []
@@ -356,7 +409,8 @@ def _batched_solver(kind, A, B, b, x_true, tol, maxit, lam, gcv_grid,
                                                               sl)
         rhs_c = b_c if x0_c is None else b_c - A.matmat(x0_c)
         core = _batched_core_deferred if defer_histories else _batched_core
-        extra = {} if defer_histories else {"resume": rs_c}
+        extra = ({"select_lam": select_lam} if defer_histories
+                 else {"resume": rs_c})
         if kind == "ba":
             # r0 only seeds a COLD start; on resume the SpMM would be
             # dead compute outside jit
@@ -399,7 +453,10 @@ def ba_gmres_batched(
     Returns a :class:`GMRESResult` with a trailing batch axis: ``x`` (n,
     R), histories (maxit, R), ``niters`` (R,), ``Q`` (n, maxit+1, R), ``H``
     (maxit+1, maxit, R), ``beta``/``active`` (R,).  ``lam``: None / scalar
-    / "gcv" (adaptive per RHS and per iteration).
+    / "gcv" (adaptive per RHS and per iteration — ~10x the fixed-lambda
+    cost, DESIGN §13) / "gcv-final" (adaptive per RHS, selected ONCE from
+    the final projected problem — the serving-grade mode at ~fixed-lambda
+    cost; requires ``defer_histories=True``).
 
     ``x0``: optional (n, R) (or (n,) broadcast) warm start — per RHS
     ``r0 = B (b - A x0)``, ``x = x0 + Q y``, matching single-RHS

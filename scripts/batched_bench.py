@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--defer", action="store_true",
                     help="defer_histories=True on the batched solver "
                          "(Arnoldi-only scan, post-scan histories)")
+    ap.add_argument("--lam", default="1e-2",
+                    help="scalar, 'gcv' (per-iteration adaptive) or "
+                         "'gcv-final' (serving-grade one-shot per-RHS "
+                         "adaptive; needs --defer)")
     ap.add_argument("--warm", action="store_true",
                     help="also measure the serving warm-start scenario: "
                          "reconstruct a perturbed successive frame cold vs "
@@ -54,10 +58,12 @@ def main():
     xt = jnp.asarray(np.asarray(x_true)).astype(jnp.float32)
 
     chunk = None if args.chunk == 0 else args.chunk
+    lam = args.lam if args.lam.startswith("gcv") else float(args.lam)
+    print(f"lam: {lam}", file=sys.stderr)
 
     @jax.jit
     def batched(A, B, bb, x):
-        return ba_gmres_batched(A, B, bb, x, tol=0.0, maxit=maxit, lam=1e-2,
+        return ba_gmres_batched(A, B, bb, x, tol=0.0, maxit=maxit, lam=lam,
                                 chunk_rhs=chunk,
                                 defer_histories=args.defer)
 

@@ -288,3 +288,38 @@ def test_batched_defer_edge_cases_match_in_scan():
                           defer_histories=True)
     assert (np.asarray(rs.active) == np.asarray(rd.active)).all()
     assert not np.asarray(rd.active).any()
+
+
+def test_gcv_final_matches_per_iteration_gcv_minima():
+    """lam='gcv-final' (one GCV selection per RHS from the final projected
+    problem, ~fixed-lambda cost) reproduces the per-iteration lam='gcv'
+    min-over-k errors on the deriv2 scenario, and is rejected without
+    defer_histories (VERDICT r4 #6; reference anchor
+    analyze_regularization.m:37-46)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+    from hybrid_gmres_tpu import generate_test_problem
+    from hybrid_gmres_tpu.problems import add_noise
+    from hybrid_gmres_tpu.solvers.batched import ba_gmres_batched
+
+    A, b_exact, x_true = generate_test_problem("deriv2", 32)
+    A = jnp.asarray(np.asarray(A, np.float32))
+    cols = []
+    for r in range(3):
+        bn, _ = add_noise(A @ jnp.asarray(np.asarray(x_true, np.float32)),
+                          1e-2, seed=r)
+        cols.append(np.asarray(bn, np.float32))
+    b = jnp.asarray(np.stack(cols, 1))
+    xt = jnp.asarray(np.asarray(x_true, np.float32))
+
+    r_gcv = ba_gmres_batched(A, A.T, b, xt, tol=0.0, maxit=16, lam="gcv",
+                             defer_histories=True)
+    r_fin = ba_gmres_batched(A, A.T, b, xt, tol=0.0, maxit=16,
+                             lam="gcv-final", defer_histories=True)
+    m_gcv = np.nanmin(np.asarray(r_gcv.err_hist), axis=0)
+    m_fin = np.nanmin(np.asarray(r_fin.err_hist), axis=0)
+    np.testing.assert_allclose(m_fin, m_gcv, rtol=0.05)
+
+    with pytest.raises(ValueError, match="gcv-final"):
+        ba_gmres_batched(A, A.T, b, xt, maxit=8, lam="gcv-final")
