@@ -382,16 +382,19 @@ def _make_B_mv_2d(B_or_BT_loc, b_forward, axes, dtype, interpret):
     return B_mv
 
 
-def _resume_setup_2d(resume_from, maxit, need_S):
+def _resume_setup_2d(resume_from, maxit, need_S, x0, lam):
     """Shared resume validation/padding for the 2-D solvers (mirrors the
     1-D ``sharded_pallas`` resume semantics)."""
-    from hybrid_gmres_tpu.utils.checkpoint import check_resumable, pad_state
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                    check_resumable,
+                                                    pad_state)
 
     if resume_from.IMG is None or (need_S and resume_from.S is None):
         raise ValueError("resume_from must come from this 2-D sharded "
                          "solver (missing .IMG" +
                          ("/.S)" if need_S else ")"))
     check_resumable(resume_from)
+    check_fingerprint(resume_from, x0, lam)
     k0 = int(resume_from.niters)
     if k0 >= maxit:
         raise ValueError(f"resume needs maxit > {k0}")
@@ -443,13 +446,17 @@ def ba_gmres_sharded_pallas_2d(
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    from hybrid_gmres_tpu.utils.checkpoint import resume_fingerprint
+
+    fp = resume_fingerprint(x0, lam)
     have_x0 = x0 is not None
     if not have_x0:
         x0 = jnp.zeros((n,), dtype=dtype)
     if resume_from is None:
         k0 = 0
     else:
-        k0, resumed_active, rs = _resume_setup_2d(resume_from, maxit, False)
+        k0, resumed_active, rs = _resume_setup_2d(
+            resume_from, maxit, False, x0 if have_x0 else None, lam)
 
     def solver(A_loc, BT_loc, b_loc, xt_loc, x0_loc, *carry_in):
         nloc = n // pc
@@ -564,7 +571,7 @@ def ba_gmres_sharded_pallas_2d(
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=IMG,
-                       active=active_f)
+                       active=active_f, fp=fp)
 
 
 def ab_gmres_sharded_pallas_2d(
@@ -604,13 +611,17 @@ def ab_gmres_sharded_pallas_2d(
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    from hybrid_gmres_tpu.utils.checkpoint import resume_fingerprint
+
+    fp = resume_fingerprint(x0, lam)
     have_x0 = x0 is not None
     if not have_x0:
         x0 = jnp.zeros((n,), dtype=dtype)
     if resume_from is None:
         k0 = 0
     else:
-        k0, resumed_active, rs = _resume_setup_2d(resume_from, maxit, True)
+        k0, resumed_active, rs = _resume_setup_2d(
+            resume_from, maxit, True, x0 if have_x0 else None, lam)
 
     def solver(A_loc, BT_loc, b_loc, xt_loc, x0_loc, *carry_in):
         nloc = n // pc
@@ -721,7 +732,7 @@ def ab_gmres_sharded_pallas_2d(
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=W,
-                       S=S, active=active_f)
+                       S=S, active=active_f, fp=fp)
 
 
 def ba_gmres_sharded_pallas_2d_restarted(

@@ -203,14 +203,20 @@ def lsqr_sharded(
     when resuming."""
     from hybrid_gmres_tpu.solvers.common import GKBState
 
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                    resume_fingerprint)
+
     mesh, p, m, n, maxit, is_panels = _prep(A, b, maxit, mesh, axis)
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
     k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
-    if resume_from is not None and k0 >= maxit:
-        raise ValueError(f"resume needs maxit > {k0}")
+    if resume_from is not None:
+        if k0 >= maxit:
+            raise ValueError(f"resume needs maxit > {k0}")
+        check_fingerprint(resume_from, x0, None)
+    fp = resume_fingerprint(x0, None)
     have_x0 = x0 is not None
     if not have_x0:
         x0 = jnp.zeros((n,), dtype=b.dtype)
@@ -326,7 +332,8 @@ def lsqr_sharded(
     else:
         res_hist = jnp.concatenate([resume_from.res_hist, res_new])
         err_hist = jnp.concatenate([resume_from.err_hist, err_new])
-    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist)
+    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist,
+                     fp=fp)
     slot = jnp.maximum(niters - 1, 0)
     res_hist = res_hist.at[slot].set(
         jnp.where(niters > 0, true_res, res_hist[slot]))
@@ -371,12 +378,18 @@ def hybrid_lsqr_sharded(
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                    resume_fingerprint)
+
+    fp = resume_fingerprint(x0, lam)
     have_x0 = x0 is not None
     if not have_x0:
         x0 = jnp.zeros((n,), dtype=dtype)
     k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
-    if resume_from is not None and k0 >= maxit:
-        raise ValueError(f"resume needs maxit > {k0}")
+    if resume_from is not None:
+        if k0 >= maxit:
+            raise ValueError(f"resume needs maxit > {k0}")
+        check_fingerprint(resume_from, x0 if have_x0 else None, lam)
 
     def solver(A_loc, b_loc, xt_loc, x0_loc, *carry_in):
         matvec, rmatvec, _ = _local_ops(A_loc, is_panels, axis, dtype,
@@ -528,7 +541,8 @@ def hybrid_lsqr_sharded(
     else:
         res_hist = jnp.concatenate([resume_from.res_hist, res_new])
         err_hist = jnp.concatenate([resume_from.err_hist, err_new])
-    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist)
+    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist,
+                     fp=fp)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
@@ -564,12 +578,18 @@ def lsmr_sharded(
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                    resume_fingerprint)
+
+    fp = resume_fingerprint(x0, None)
     have_x0 = x0 is not None
     if not have_x0:
         x0 = jnp.zeros((n,), dtype=dtype)
     k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
-    if resume_from is not None and k0 >= maxit:
-        raise ValueError(f"resume needs maxit > {k0}")
+    if resume_from is not None:
+        if k0 >= maxit:
+            raise ValueError(f"resume needs maxit > {k0}")
+        check_fingerprint(resume_from, x0 if have_x0 else None, None)
 
     def solver(A_loc, b_loc, xt_loc, x0_loc, *carry_in):
         matvec, rmatvec, fro_sq_loc = _local_ops(A_loc, is_panels, axis,
@@ -705,7 +725,7 @@ def lsmr_sharded(
         err_hist = jnp.concatenate([resume_from.err_hist, err_new])
         ar_hist = jnp.concatenate([resume_from.ar_hist, ar_new])
     state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist,
-                     ar_hist=ar_hist)
+                     ar_hist=ar_hist, fp=fp)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,

@@ -162,6 +162,10 @@ def ba_gmres_sharded_pallas(
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                    resume_fingerprint)
+
+    fp = resume_fingerprint(x0, lam)
     have_x0 = x0 is not None
     if not have_x0:
         x0 = jnp.zeros((n,), dtype=dtype)
@@ -171,6 +175,7 @@ def ba_gmres_sharded_pallas(
         if resume_from.IMG is None:
             raise ValueError("resume_from must come from "
                              "ba_gmres_sharded_pallas (missing .IMG)")
+        check_fingerprint(resume_from, x0 if have_x0 else None, lam)
         # Mirror gmres_core: continue from the last ADOPTED iteration, not
         # the old maxit — resuming a tol-stopped/broken-down run must not
         # scan over zero Krylov columns (self-review r3).
@@ -314,7 +319,7 @@ def ba_gmres_sharded_pallas(
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=IMG,
-                       active=active_f)
+                       active=active_f, fp=fp)
 
 
 def ab_gmres_sharded_pallas(
@@ -362,6 +367,10 @@ def ab_gmres_sharded_pallas(
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                    resume_fingerprint)
+
+    fp = resume_fingerprint(x0, lam)
     have_x0 = x0 is not None
     if not have_x0:
         x0 = jnp.zeros((n,), dtype=dtype)
@@ -371,6 +380,7 @@ def ab_gmres_sharded_pallas(
         if resume_from.IMG is None or resume_from.S is None:
             raise ValueError("resume_from must come from "
                              "ab_gmres_sharded_pallas (missing .IMG/.S)")
+        check_fingerprint(resume_from, x0 if have_x0 else None, lam)
         from hybrid_gmres_tpu.utils.checkpoint import check_resumable
 
         check_resumable(resume_from)
@@ -500,7 +510,7 @@ def ab_gmres_sharded_pallas(
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GMRESResult(x, err_hist, res_hist, niters, Q, H, beta, IMG=W,
-                       S=S, active=active_f)
+                       S=S, active=active_f, fp=fp)
 
 
 def ba_gmres_sharded_pallas_restarted(

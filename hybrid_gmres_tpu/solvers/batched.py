@@ -375,7 +375,11 @@ def _batched_solver(kind, A, B, b, x_true, tol, maxit, lam, gcv_grid,
             jnp.asarray(x_true, dtype).reshape(n, -1), (n, R))
     if x0 is not None:
         x0 = jnp.broadcast_to(jnp.asarray(x0, dtype).reshape(n, -1), (n, R))
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                    resume_fingerprint)
+
     if resume_from is not None:
+        check_fingerprint(resume_from, x0, lam)
         if defer_histories:
             raise ValueError("defer_histories does not support resume_from")
         if resume_from.IMG is None or (kind == "ab" and resume_from.S is
@@ -430,7 +434,7 @@ def _batched_solver(kind, A, B, b, x_true, tol, maxit, lam, gcv_grid,
     res = _concat_results(parts)
     if x_true is None:
         res = res._replace(err_hist=jnp.full_like(res.err_hist, jnp.nan))
-    return res
+    return res._replace(fp=resume_fingerprint(x0, lam))
 
 
 def ba_gmres_batched(

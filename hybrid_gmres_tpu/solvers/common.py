@@ -66,6 +66,12 @@ class GMRESResult(NamedTuple):
     # INACTIVE even when the stop landed exactly on the last budgeted
     # iteration — inferring from niters alone cannot tell that case apart.
     active: Optional[jax.Array] = None
+    # (2,) fingerprint of the solve's (x0, lam) pair
+    # (utils.checkpoint.resume_fingerprint): resuming with a DIFFERENT
+    # x0/lam silently corrupts (the checkpoint stores neither), so the
+    # resume paths verify this when both sides are concrete.  None on
+    # legacy checkpoints.
+    fp: Optional[jax.Array] = None
 
 
 class GKBState(NamedTuple):
@@ -81,6 +87,7 @@ class GKBState(NamedTuple):
     res_hist: jax.Array
     err_hist: jax.Array
     ar_hist: Optional[jax.Array] = None
+    fp: Optional[jax.Array] = None  # (x0, lam) fingerprint (see GMRESResult)
 
 
 class GKBResult(NamedTuple):

@@ -101,11 +101,16 @@ def ab_gmres(
     ``A (B q_k)`` so both the per-iteration solution and TRUE residual are
     small matmuls — 2 SpMVs/iteration instead of 4, identical numbers.
     """
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                    resume_fingerprint)
+
     A = as_operator(A)
     B = as_operator(B)
     if maxit is None:
         maxit = min(A.shape)
     maxit = int(maxit)
+    if resume_from is not None:
+        check_fingerprint(resume_from, x0, lam)
 
     krylov_mv = lambda q: A.matvec(B.matvec(q))
     if x0 is None:
@@ -120,7 +125,7 @@ def ab_gmres(
                       solution_from_image=True, x_offset=x0)
         if residual == "fused" else None
     )
-    return gmres_core(
+    res = gmres_core(
         krylov_mv=krylov_mv,
         r0=r0,
         project_solve=_make_project_solve(lam, A.shape[0], gcv_grid),
@@ -139,6 +144,7 @@ def ab_gmres(
         defer_histories=defer_histories,
         basis_dtype=basis_dtype,
     )
+    return res._replace(fp=resume_fingerprint(x0, lam))
 
 
 def ba_gmres(
@@ -171,11 +177,16 @@ def ba_gmres(
     Krylov/image bases, e.g. ``jnp.bfloat16`` — halves their HBM traffic
     with f32 arithmetic throughout (see ``gmres_core``).
     """
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                    resume_fingerprint)
+
     A = as_operator(A)
     B = as_operator(B)
     if maxit is None:
         maxit = min(A.shape)
     maxit = int(maxit)
+    if resume_from is not None:
+        check_fingerprint(resume_from, x0, lam)
 
     krylov_mv = lambda q: B.matvec(A.matvec(q))
     if x0 is None:
@@ -191,7 +202,7 @@ def ba_gmres(
                       rhs_norm=jnp.linalg.norm(b), img="first")
         if residual == "fused" else None
     )
-    return gmres_core(
+    res = gmres_core(
         krylov_mv=krylov_mv,
         r0=r0,
         project_solve=_make_project_solve(lam, A.shape[1], gcv_grid),
@@ -210,6 +221,7 @@ def ba_gmres(
         defer_histories=defer_histories,
         basis_dtype=basis_dtype,
     )
+    return res._replace(fp=resume_fingerprint(x0, lam))
 
 
 def _restarted(run_cycle, max_restarts, tol) -> GMRESResult:

@@ -178,6 +178,9 @@ def lsmr(
         k0 = resume_from.res_hist.shape[0]
         if k0 >= maxit:
             raise ValueError(f"resume needs maxit > {k0}")
+        from hybrid_gmres_tpu.utils.checkpoint import check_fingerprint
+
+        check_fingerprint(resume_from, x0, None)
         carry0 = resume_from.carry
         if reorth:
             Up, Vp = carry0[14], carry0[15]
@@ -195,8 +198,10 @@ def lsmr(
         res_hist = jnp.concatenate([resume_from.res_hist, res_new])
         err_hist = jnp.concatenate([resume_from.err_hist, err_new])
         ar_hist = jnp.concatenate([resume_from.ar_hist, ar_new])
+    from hybrid_gmres_tpu.utils.checkpoint import resume_fingerprint
+
     state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist,
-                     ar_hist=ar_hist)
+                     ar_hist=ar_hist, fp=resume_fingerprint(x0, None))
     return GKBResult(
         x=x, err_hist=err_hist, res_hist=res_hist, niters=niters,
         ar_hist=ar_hist, state=state
@@ -373,6 +378,9 @@ def hybrid_lsmr(
         k0 = resume_from.res_hist.shape[0]
         if k0 >= maxit:
             raise ValueError(f"resume needs maxit > {k0}")
+        from hybrid_gmres_tpu.utils.checkpoint import check_fingerprint
+
+        check_fingerprint(resume_from, None, lam)
         (x0, u, v, Vp, Bp, alpha, active, niters, Up, ab1) = \
             resume_from.carry
         extra = maxit - Vp.shape[1]
@@ -419,6 +427,9 @@ def hybrid_lsmr(
     else:
         res_hist = jnp.concatenate([prior_res, res_new])
         err_hist = jnp.concatenate([prior_err, err_new])
-    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist)
+    from hybrid_gmres_tpu.utils.checkpoint import resume_fingerprint
+
+    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist,
+                     fp=resume_fingerprint(None, lam))
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
                      niters=niters, state=state)

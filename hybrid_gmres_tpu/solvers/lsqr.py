@@ -167,9 +167,14 @@ def lsqr(
     base_err = rel_error_fn(x_true)
     error_fn = base_err if x0 is None else (lambda d: base_err(x0 + d))
 
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                    resume_fingerprint)
+
     k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
-    if k0 >= maxit and resume_from is not None:
-        raise ValueError(f"resume needs maxit > {k0}")
+    if resume_from is not None:
+        if k0 >= maxit:
+            raise ValueError(f"resume needs maxit > {k0}")
+        check_fingerprint(resume_from, x0, None)
     x, res_new, err_new, niters, carry = _lsqr_core(
         iter_op=A,
         b_iter=b_iter,
@@ -189,7 +194,8 @@ def lsqr(
     else:
         res_hist = jnp.concatenate([resume_from.res_hist, res_new])
         err_hist = jnp.concatenate([resume_from.err_hist, err_new])
-    state = GKBState(carry=carry, res_hist=res_hist, err_hist=err_hist)
+    state = GKBState(carry=carry, res_hist=res_hist, err_hist=err_hist,
+                     fp=resume_fingerprint(x0, None))
     # Patch the last recorded entry with the true residual (lsqr_solver.m:52);
     # skip when no iteration was ever adopted (niters=0 would wrap the index).
     true_res = jnp.linalg.norm(b - A.matvec(x)) / b_norm
@@ -260,9 +266,14 @@ def hybrid_lsqr(
     else:
         error_fn = base_error_fn
 
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                    resume_fingerprint)
+
     k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
-    if k0 >= maxit and resume_from is not None:
-        raise ValueError(f"resume needs maxit > {k0}")
+    if resume_from is not None:
+        if k0 >= maxit:
+            raise ValueError(f"resume needs maxit > {k0}")
+        check_fingerprint(resume_from, x0, lam)
     x, res_new, err_new, niters, carry = _lsqr_core(
         iter_op=aug,
         b_iter=b_aug,
@@ -282,6 +293,7 @@ def hybrid_lsqr(
     else:
         res_hist = jnp.concatenate([resume_from.res_hist, res_new])
         err_hist = jnp.concatenate([resume_from.err_hist, err_new])
-    state = GKBState(carry=carry, res_hist=res_hist, err_hist=err_hist)
+    state = GKBState(carry=carry, res_hist=res_hist, err_hist=err_hist,
+                     fp=resume_fingerprint(x0, lam))
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
                      niters=niters, state=state)

@@ -34,6 +34,8 @@ def save_state(path: str, result: GMRESResult) -> None:
         d["S"] = np.asarray(result.S)
     if result.active is not None:
         d["active"] = np.asarray(result.active)
+    if getattr(result, "fp", None) is not None:
+        d["fp"] = np.asarray(result.fp)
     np.savez_compressed(path, **d)
 
 
@@ -61,6 +63,7 @@ def load_state(path: str) -> GMRESResult:
         IMG=jnp.asarray(z["IMG"]) if "IMG" in z.files else None,
         S=jnp.asarray(z["S"]) if "S" in z.files else None,
         active=(jnp.asarray(z["active"]) if "active" in z.files else None),
+        fp=jnp.asarray(z["fp"]) if "fp" in z.files else None,
     )
     ni = np.asarray(z["niters"])
     if "active" not in z.files and ni.ndim == 0 and \
@@ -74,6 +77,59 @@ def load_state(path: str) -> GMRESResult:
             "iteration — re-save with the current version to disambiguate",
             UserWarning, stacklevel=2)
     return out
+
+
+def resume_fingerprint(x0, lam):
+    """Compact (2,) fingerprint of a solve's ``(x0, lam)`` pair.
+
+    ``niters``-invariant by construction: entry 0 is a fixed-weight
+    checksum of ``x0`` (cosine weights — permutation-sensitive, unlike a
+    plain sum), entry 1 encodes ``lam`` (scalar value; None → -1,
+    "gcv" → -2, "gcv-final" → -3).  Stored in checkpointed results so a
+    resume with a DIFFERENT ``x0``/``lam`` — which would silently produce
+    wrong numbers (the Krylov factorization is x0/lam-specific) — raises
+    instead (:func:`check_fingerprint`).  Traceable (a traced ``x0`` or
+    ``lam`` yields a traced fingerprint; the check then degrades to a
+    no-op, documented there)."""
+    codes = {"gcv": -2.0, "gcv-final": -3.0}
+    if isinstance(lam, str):
+        lam_val = jnp.float32(codes.get(lam, -9.0))
+    elif lam is None:
+        lam_val = jnp.float32(-1.0)
+    else:
+        lam_val = jnp.asarray(lam, jnp.float32).reshape(())
+    if x0 is None:
+        xs = jnp.float32(0.0)
+    else:
+        x = jnp.ravel(jnp.asarray(x0)).astype(jnp.float32)
+        w = jnp.cos(jnp.arange(x.shape[0], dtype=jnp.float32) * 0.7368) + 0.5
+        xs = jnp.dot(x, w)
+    return jnp.stack([xs, lam_val])
+
+
+def check_fingerprint(resume_from, x0, lam) -> None:
+    """Verify a resume's ``(x0, lam)`` against the checkpointed
+    fingerprint.  No-ops when the checkpoint predates fingerprints
+    (``fp is None``) or when either side is a tracer (a fully-jitted
+    resume cannot be checked host-side — the stored fp still travels with
+    the result for later concrete checks)."""
+    stored = getattr(resume_from, "fp", None)
+    if stored is None:
+        return
+    import jax
+
+    expected = resume_fingerprint(x0, lam)
+    if isinstance(stored, jax.core.Tracer) or \
+            isinstance(expected, jax.core.Tracer):
+        return
+    s, e = np.asarray(stored), np.asarray(expected)
+    if not np.allclose(s, e, rtol=1e-5, atol=1e-6, equal_nan=True):
+        raise ValueError(
+            f"resume fingerprint mismatch: checkpoint was created with "
+            f"(x0, lam) fingerprint {s.tolist()}, resume passed "
+            f"{e.tolist()} — resuming with a different x0/lam silently "
+            "corrupts the continuation; pass the ORIGINAL x0/lam (to "
+            "change them, start a fresh solve warm-started from .x)")
 
 
 def check_resumable(resume_from: GMRESResult) -> None:
@@ -114,6 +170,7 @@ def pad_state(result: GMRESResult, maxit: int) -> GMRESResult:
         IMG=pad_cols(result.IMG),
         S=pad_cols(result.S),
         active=result.active,
+        fp=getattr(result, "fp", None),
     )
 
 
@@ -128,6 +185,8 @@ def save_gkb_state(path: str, state) -> None:
     }
     if state.ar_hist is not None:
         d["ar_hist"] = np.asarray(state.ar_hist)
+    if getattr(state, "fp", None) is not None:
+        d["fp"] = np.asarray(state.fp)
     for i, c in enumerate(state.carry):
         if c is not None:
             d[f"carry_{i}"] = np.asarray(c)
@@ -148,4 +207,5 @@ def load_gkb_state(path: str):
         res_hist=jnp.asarray(z["res_hist"]),
         err_hist=jnp.asarray(z["err_hist"]),
         ar_hist=jnp.asarray(z["ar_hist"]) if "ar_hist" in z.files else None,
+        fp=jnp.asarray(z["fp"]) if "fp" in z.files else None,
     )
