@@ -48,6 +48,14 @@ BASELINE_ITERS_PER_SEC = 10.0
 MIN_ERR_F32_REFERENCE = 0.4328
 MIN_ERR_TOLERANCE = 1.03
 
+# BENCH_SCALE=128 (VERDICT r4 #9): run the SAME pipeline at CT n=128
+# (360x360 rays, 38M nnz, 467 MB int8 panels) — the regime where the wall
+# number is provably panel-bandwidth-bound (~425 GB/s-equiv, DESIGN §10).
+# Its gate anchors to the measured int8 min-err of the shipped path
+# (0.3698 on v5e; an exact-f32 CPU rerun at this size is impractical),
+# with a 5% regression band.
+SCALE_GATES = {64: (0.4328, 1.03), 128: (0.3698, 1.05)}
+
 
 def main():
     import jax
@@ -59,8 +67,15 @@ def main():
     maxit = 100
     on_tpu = jax.default_backend() not in ("cpu",)
 
+    import os as _os
+    scale_n = int(_os.environ.get("BENCH_SCALE", "64"))
+    if scale_n not in SCALE_GATES:
+        raise SystemExit(f"BENCH_SCALE={scale_n} has no stored quality "
+                         f"gate; known sizes: {sorted(SCALE_GATES)}")
+    ang = int(180 * scale_n / 64)
+
     t0 = time.time()
-    prob = ct_mismatched(n=64, n_angles=180, n_det=180, dense=False)
+    prob = ct_mismatched(n=scale_n, n_angles=ang, n_det=ang, dense=False)
     A_csr = prob.A_csr.astype(np.float32)
     B_csr = prob.B_csr.astype(np.float32)
     print(f"[bench] CT assembly: {time.time()-t0:.1f}s  A={A_csr.shape} "
@@ -177,17 +192,17 @@ def main():
           f"final rel-err {err:.3f}; min-over-k rel-err {min_err:.4f}; "
           f"nnz/s {nnz_per_sec:.3e}", file=sys.stderr)
 
-    # Quality gate: semi-convergence minimum must match the stored exact-f32
+    # Quality gate: semi-convergence minimum must match the stored
     # reference — fail loudly (no JSON line) if a fast-path change broke it.
-    gate = MIN_ERR_F32_REFERENCE * MIN_ERR_TOLERANCE
+    ref_err, ref_tol = SCALE_GATES[scale_n]
+    gate = ref_err * ref_tol
     if not np.isfinite(min_err) or min_err > gate:
         print(f"[bench] QUALITY GATE FAILED: min-over-k rel-err {min_err:.4f}"
-              f" > {gate:.4f} (= {MIN_ERR_F32_REFERENCE} x "
-              f"{MIN_ERR_TOLERANCE})", file=sys.stderr)
+              f" > {gate:.4f} (= {ref_err} x {ref_tol})", file=sys.stderr)
         sys.exit(1)
 
     out = {
-        "metric": "hybrid_ba_gmres_iters_per_sec_m100_ct64",
+        "metric": f"hybrid_ba_gmres_iters_per_sec_m100_ct{scale_n}",
         "value": round(iters_per_sec, 2),
         "unit": "iterations/s",
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 2),
