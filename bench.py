@@ -26,7 +26,8 @@ shifting the under-regularized late plateau; it is reported for info.
 Baseline: the reference is single-threaded MATLAB (SURVEY.md §6 — no
 published numbers).  Nominal 10 iterations/s for this problem size on a
 modern CPU: per iteration 2 dense matvecs (0.53 GFLOP) + MGS + k x k solve
-at an effective ~6 GFLOP/s.  vs_baseline = measured / 10.
+at an effective ~6 GFLOP/s.  vs_baseline = measured / baseline, with the
+baseline scaled by the nnz ratio at BENCH_SCALE sizes (SCALE_GATES).
 """
 
 import json
@@ -36,25 +37,21 @@ import time
 import numpy as np
 
 
-BASELINE_ITERS_PER_SEC = 10.0
-
-# Quality gate (VERDICT r1 weak#1): the scientifically meaningful number for
-# this semi-convergent problem is the MIN-over-k relative error
-# (run_2D_phantom.m:64-75).  Stored f32 reference value for this exact
-# scenario (CT n=64, 180x180, 25% noise, lam=1e-2, seed 0): 0.4328, measured
-# with exact dense f32 operators on CPU.  The fast path (int8/bf16/Morton)
-# must stay within 3% of it or the bench FAILS — a perf change that degrades
-# the reconstruction cannot silently ship.
-MIN_ERR_F32_REFERENCE = 0.4328
-MIN_ERR_TOLERANCE = 1.03
-
-# BENCH_SCALE=128 (VERDICT r4 #9): run the SAME pipeline at CT n=128
-# (360x360 rays, 38M nnz, 467 MB int8 panels) — the regime where the wall
-# number is provably panel-bandwidth-bound (~425 GB/s-equiv, DESIGN §10).
-# Its gate anchors to the measured int8 min-err of the shipped path
-# (0.3698 on v5e; an exact-f32 CPU rerun at this size is impractical),
-# with a 5% regression band.
-SCALE_GATES = {64: (0.4328, 1.03), 128: (0.3698, 1.05)}
+# Quality gates (VERDICT r1 weak#1): the scientifically meaningful number
+# for this semi-convergent problem is the MIN-over-k relative error
+# (run_2D_phantom.m:64-75).  Per problem size: (min_err_reference,
+# tolerance, baseline_iters_per_sec).
+#   n=64: 0.4328 measured with exact dense f32 operators on CPU; the fast
+#   path (int8/bf16/Morton) must stay within 3% or the bench FAILS.
+#   Baseline 10 it/s = single-threaded MATLAB-class CPU (2 sparse matvecs
+#   + MGS + k x k solve at ~6 GFLOP/s; SURVEY.md §6 has no published
+#   reference numbers).
+#   n=128 (BENCH_SCALE=128, VERDICT r4 #9): the SAME pipeline at 360x360
+#   rays / 38M nnz / 467 MB int8 panels — the provably bandwidth-bound
+#   regime (~425 GB/s-equiv, DESIGN §10).  Gate anchors to the measured
+#   int8 min-err (exact-f32 CPU rerun impractical at this size), 5% band;
+#   baseline scaled by the ~8.5x nnz ratio (10 / 8.49 = 1.18 it/s).
+SCALE_GATES = {64: (0.4328, 1.03, 10.0), 128: (0.3698, 1.05, 1.18)}
 
 
 def main():
@@ -174,7 +171,9 @@ def main():
         slope_med = st["slope_med_s"] / maxit * 1e6
         if slope > 0:
             device_us_per_iter = slope
-            device_us_per_iter_med = slope_med
+            # a jitter-corrupted (non-positive) median slope must not ship
+            # in the artifact — the min/median band is the weather check
+            device_us_per_iter_med = slope_med if slope_med > 0 else None
             print(f"[bench] device-only: {device_us_per_iter:.1f} us/iter "
                   f"(median-slope {slope_med:.1f}; "
                   f"{1e6 / device_us_per_iter:.0f} it/s device-side; wall "
@@ -194,7 +193,7 @@ def main():
 
     # Quality gate: semi-convergence minimum must match the stored
     # reference — fail loudly (no JSON line) if a fast-path change broke it.
-    ref_err, ref_tol = SCALE_GATES[scale_n]
+    ref_err, ref_tol, baseline = SCALE_GATES[scale_n]
     gate = ref_err * ref_tol
     if not np.isfinite(min_err) or min_err > gate:
         print(f"[bench] QUALITY GATE FAILED: min-over-k rel-err {min_err:.4f}"
@@ -205,14 +204,15 @@ def main():
         "metric": f"hybrid_ba_gmres_iters_per_sec_m100_ct{scale_n}",
         "value": round(iters_per_sec, 2),
         "unit": "iterations/s",
-        "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 2),
+        "vs_baseline": round(iters_per_sec / baseline, 2),
         "min_rel_err": round(min_err, 4),
         "min_rel_err_gate": round(gate, 4),
         "nnz_per_sec": round(nnz_per_sec, 1),
     }
     if device_us_per_iter is not None:
         out["device_us_per_iter"] = round(device_us_per_iter, 1)
-        out["device_us_per_iter_med"] = round(device_us_per_iter_med, 1)
+        if device_us_per_iter_med is not None:
+            out["device_us_per_iter_med"] = round(device_us_per_iter_med, 1)
     if dispatch_floor_ms is not None:
         out["dispatch_floor_ms"] = round(dispatch_floor_ms, 1)
     print(json.dumps(out))

@@ -287,48 +287,41 @@ def shard_bucketed_panels(csr, p: int, block=(8, 128), dtype=np.float32,
 # of a ShardedPanels pytree, as produced by in_specs=P(axis).
 # ---------------------------------------------------------------------------
 
-def gather_window(sp: ShardedPanels, x_loc, axis: str, comm_dtype=None):
-    """Assemble this shard's x window (win_blocks, bc) f32 from the sharded
-    x (one slab per device).
+def _wire_codec(comm_dtype):
+    """(encode, decode) for the gather wire.  With a narrow ``comm_dtype``
+    the slab moves as its RAW BITS: a plain astype lets XLA's simplifier
+    reorder the convert past the collective and gather f32 anyway
+    (verified in the optimized HLO — even through an
+    optimization_barrier); converts cannot be folded through a bitcast,
+    so the wire provably carries the narrow words
+    (tests/test_parallel.py wire-dtype oracle)."""
+    if comm_dtype is None:
+        ident = lambda a: a
+        return ident, ident
+    cd = jnp.dtype(comm_dtype)
+    ui = jnp.dtype(f"uint{cd.itemsize * 8}")
 
-    Windowed panels: L ppermute hops + a dynamic slice of the received
-    stack (L*n/p bytes on the wire).  Full panels: one all_gather
-    ((p-1)*n/p bytes).
+    def enc(a):
+        return jax.lax.bitcast_convert_type(a.astype(cd), ui)
 
-    ``comm_dtype`` (e.g. ``jnp.bfloat16``): cast the slab to a narrower
-    dtype BEFORE it crosses the wire and back to f32 after — halves the
-    dominant gather bytes of full-support operators (DESIGN §8 lever (a)).
-    The local kernels still run f32; only the exchanged basis vector is
-    rounded (~4e-3 relative, the same order as the int8 operator
-    quantization — assert a tolerance band, not bit parity).
-    """
-    bc = sp.block_shape[1]
-    n = sp.shape[1]
-    p = sp.p
-    x_loc = x_loc.astype(jnp.float32)
-    if comm_dtype is not None:
-        # Move the slab as its RAW BITS: a plain astype lets XLA's
-        # simplifier reorder the convert past the collective and gather
-        # f32 anyway (verified in the optimized HLO — even through an
-        # optimization_barrier); converts cannot be folded through a
-        # bitcast, so the wire provably carries the narrow words
-        # (tests/test_parallel.py wire-dtype oracle).
-        cd = jnp.dtype(comm_dtype)
-        ui = jnp.dtype(f"uint{cd.itemsize * 8}")
-        x_loc = jax.lax.bitcast_convert_type(x_loc.astype(cd), ui)
+    def dec(a):
+        return jax.lax.bitcast_convert_type(a, cd).astype(jnp.float32)
 
-        def _unwire(a):
-            return jax.lax.bitcast_convert_type(a, cd).astype(jnp.float32)
-    else:
-        def _unwire(a):
-            return a
+    return enc, dec
+
+
+def _gather_exchange(sp: ShardedPanels, x_loc, axis: str, comm_dtype):
+    """The exchange schedule shared by the vector and multi-RHS gathers:
+    windowed panels do L ppermute hops + a dynamic slice of the received
+    stack (L*n/p bytes on the wire, returning (win_slabs, nloc, ...));
+    full panels one all_gather ((p-1)*n/p bytes, returning (n, ...)).
+    ``x_loc`` is this device's row slab, (nloc,) or (nloc, R)."""
+    enc, dec = _wire_codec(comm_dtype)
+    x_loc = enc(x_loc.astype(jnp.float32))
     if not sp.windowed:
-        x_full = _unwire(jax.lax.all_gather(x_loc, axis, tiled=True))
-        n_pad = sp.ncb * bc
-        x2d = jnp.zeros((n_pad,), jnp.float32).at[:n].set(x_full)
-        return x2d.reshape(sp.ncb, bc)
+        return dec(jax.lax.all_gather(x_loc, axis, tiled=True))
     dmin, L = sp.shifts
-    nloc = n // p
+    p = sp.p
     slabs = []
     for idx in range(L):
         d = dmin + idx
@@ -337,13 +330,30 @@ def gather_window(sp: ShardedPanels, x_loc, axis: str, comm_dtype=None):
         else:
             perm = [((j + d) % p, j) for j in range(p)]
             slabs.append(jax.lax.ppermute(x_loc, axis, perm))
-    stack = _unwire(jnp.stack(slabs))             # (L, nloc)
+    stack = dec(jnp.stack(slabs))                 # (L, nloc[, R])
     my = jax.lax.axis_index(axis)
     start_rel = sp.win_start.reshape(-1)[0] - my - dmin
-    win = jax.lax.dynamic_slice(
-        stack, (start_rel, jnp.zeros((), start_rel.dtype)),
-        (sp.win_slabs, nloc))
-    return win.reshape(-1).reshape(sp.win_blocks, bc)
+    zero = jnp.zeros((), start_rel.dtype)
+    starts = (start_rel,) + (zero,) * (stack.ndim - 1)
+    return jax.lax.dynamic_slice(
+        stack, starts, (sp.win_slabs,) + stack.shape[1:])
+
+
+def gather_window(sp: ShardedPanels, x_loc, axis: str, comm_dtype=None):
+    """Assemble this shard's x window (win_blocks, bc) f32 from the sharded
+    x (one slab per device) — see :func:`_gather_exchange` for the wire
+    schedule and :func:`_wire_codec` for the narrow-``comm_dtype`` option
+    (halves the dominant gather bytes, DESIGN §8 lever (a); local kernels
+    still run f32, the exchanged vector is rounded ~4e-3 relative — assert
+    a tolerance band, not bit parity)."""
+    bc = sp.block_shape[1]
+    n = sp.shape[1]
+    out = _gather_exchange(sp, x_loc, axis, comm_dtype)
+    if not sp.windowed:
+        n_pad = sp.ncb * bc
+        return jnp.zeros((n_pad,), jnp.float32).at[:n].set(out).reshape(
+            sp.ncb, bc)
+    return out.reshape(-1).reshape(sp.win_blocks, bc)
 
 
 def local_matvec(sp: ShardedPanels, x_win2d, interpret: bool = False):
@@ -399,47 +409,17 @@ def gather_window_mat(sp: ShardedPanels, X_loc, axis: str, comm_dtype=None):
     """Multi-RHS twin of :func:`gather_window`: assemble this shard's
     window of the row-sharded X (nloc, R) as (win_blocks, R, bc) f32 — the
     input layout of the SpMM kernel (``_bucket_matmat``).  The SAME
-    ppermute/all_gather schedule as the vector form, R times the payload
-    per hop (one exchange serves all R columns)."""
+    :func:`_gather_exchange` schedule as the vector form, R times the
+    payload per hop (one exchange serves all R columns)."""
     bc = sp.block_shape[1]
     n = sp.shape[1]
-    p = sp.p
     R = X_loc.shape[1]
-    X_loc = X_loc.astype(jnp.float32)
-    if comm_dtype is not None:
-        # bitcast so the wire provably carries the narrow words (see
-        # gather_window — a plain astype gets reordered past collectives)
-        cd = jnp.dtype(comm_dtype)
-        ui = jnp.dtype(f"uint{cd.itemsize * 8}")
-        X_loc = jax.lax.bitcast_convert_type(X_loc.astype(cd), ui)
-
-        def _unwire(a):
-            return jax.lax.bitcast_convert_type(a, cd).astype(jnp.float32)
-    else:
-        def _unwire(a):
-            return a
+    out = _gather_exchange(sp, X_loc, axis, comm_dtype)
     if not sp.windowed:
-        X_full = _unwire(jax.lax.all_gather(X_loc, axis, tiled=True))
         n_pad = sp.ncb * bc
-        X2d = jnp.zeros((n_pad, R), jnp.float32).at[:n].set(X_full)
+        X2d = jnp.zeros((n_pad, R), jnp.float32).at[:n].set(out)
         return X2d.reshape(sp.ncb, bc, R).transpose(0, 2, 1)
-    dmin, L = sp.shifts
-    nloc = n // p
-    slabs = []
-    for idx in range(L):
-        d = dmin + idx
-        if d == 0:
-            slabs.append(X_loc)
-        else:
-            perm = [((j + d) % p, j) for j in range(p)]
-            slabs.append(jax.lax.ppermute(X_loc, axis, perm))
-    stack = _unwire(jnp.stack(slabs))             # (L, nloc, R)
-    my = jax.lax.axis_index(axis)
-    start_rel = sp.win_start.reshape(-1)[0] - my - dmin
-    zero = jnp.zeros((), start_rel.dtype)
-    win = jax.lax.dynamic_slice(
-        stack, (start_rel, zero, zero), (sp.win_slabs, nloc, R))
-    return win.reshape(-1, R).reshape(sp.win_blocks, bc, R).transpose(
+    return out.reshape(-1, R).reshape(sp.win_blocks, bc, R).transpose(
         0, 2, 1)
 
 

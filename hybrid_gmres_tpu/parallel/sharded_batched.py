@@ -45,18 +45,22 @@ __all__ = [
 ]
 
 
-def _make_B_mm(B_loc, b_forward, axis, interpret, comm_dtype=None):
+def _make_B_mm(B_loc, b_forward, axis, dtype, interpret, comm_dtype=None):
     """Shard-local multi-RHS ``U (m/p, R) -> B U (n/p, R)`` in the same two
-    layouts as the single-RHS ``sharded_pallas._make_B_mv``."""
+    layouts as the single-RHS ``sharded_pallas._make_B_mv`` — including
+    casting to the solver dtype BEFORE the reduce_scatter (a bf16 solve
+    must move bf16 collective bytes and reduce in the same precision as
+    the single-RHS schedule)."""
     if b_forward:
         def B_mm(U_loc):
             U_win = gather_window_mat(B_loc, U_loc, axis,
                                       comm_dtype=comm_dtype)
-            return local_matmat(B_loc, U_win, interpret=interpret)
+            return local_matmat(B_loc, U_win,
+                                interpret=interpret).astype(dtype)
     else:
         def B_mm(U_loc):
             part = local_rmatmat_window(B_loc, U_loc, interpret=interpret)
-            full = scatter_window_to_full_mat(B_loc, part)
+            full = scatter_window_to_full_mat(B_loc, part).astype(dtype)
             return jax.lax.psum_scatter(full, axis, scatter_dimension=0,
                                         tiled=True)
     return B_mm
@@ -124,9 +128,8 @@ def _sharded_batched(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam,
             return local_matmat(A_loc, X_win, interpret=interpret
                                 ).astype(dtype)
 
-        B_mm = _make_B_mm(B_loc, b_forward, axis, interpret,
-                          comm_dtype=comm_dtype)
-        B_mm_scatter = lambda U: B_mm(U).astype(dtype)
+        B_mm_scatter = _make_B_mm(B_loc, b_forward, axis, dtype, interpret,
+                                  comm_dtype=comm_dtype)
 
         b_norm = pnorm_cols(b_loc)                          # (R,)
         xt_norm = pnorm_cols(xt_loc)

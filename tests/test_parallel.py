@@ -2032,3 +2032,34 @@ def test_sharded_equivalence_full_history_with_reorth(deriv2_prob):
                                mesh=mesh, reorth=True)
     np.testing.assert_allclose(np.asarray(r_hba.err_hist),
                                np.asarray(r_hl.err_hist), rtol=1e-6)
+
+
+def test_sharded_batched_gcv_final_matches_single_chip():
+    """lam='gcv-final' through the sharded batched deferred path
+    (replicated per-RHS selection inside shard_map) == the single-chip
+    batched solver."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (ba_gmres_sharded_batched,
+                                           shard_bucketed_panels)
+    from hybrid_gmres_tpu.solvers.batched import ba_gmres_batched
+
+    Ad, Bd, b, x_true = _batched_pair(seed=15)
+    mesh = make_mesh()
+    A_panels = shard_bucketed_panels(sp.csr_matrix(Ad), 8)
+    BT_panels = shard_bucketed_panels(sp.csr_matrix(Bd.T), 8)
+    r_sh = ba_gmres_sharded_batched(
+        A_panels, BT_panels, jnp.asarray(b), jnp.asarray(x_true), tol=0.0,
+        maxit=6, lam="gcv-final", mesh=mesh, interpret=True,
+        defer_histories=True)
+    r_ref = ba_gmres_batched(jnp.asarray(Ad), jnp.asarray(Bd),
+                             jnp.asarray(b), jnp.asarray(x_true), tol=0.0,
+                             maxit=6, lam="gcv-final", chunk_rhs=None,
+                             defer_histories=True)
+    np.testing.assert_allclose(np.asarray(r_sh.err_hist),
+                               np.asarray(r_ref.err_hist), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(r_sh.res_hist),
+                               np.asarray(r_ref.res_hist), atol=5e-5)
+    with pytest.raises(ValueError, match="gcv-final"):
+        ba_gmres_sharded_batched(A_panels, BT_panels, jnp.asarray(b),
+                                 maxit=4, lam="gcv-final", mesh=mesh,
+                                 interpret=True)
