@@ -745,10 +745,17 @@ def hybrid_lsmr_sharded(
     interpret: bool = False,
     gcv_grid=None,
     reorth: bool = False,
+    x0=None,
+    x0_reg: str = "correction",
 ) -> GKBResult:
     """Sharded hybrid LSMR: GKB with the right basis V row-sharded over the
     image axis, bidiagonal B_k replicated, and the per-iteration shifted
     projected solve (``hybrid_lsmr_solver.m:37-45``) replicated (tiny).
+
+    ``x0``/``x0_reg``: warm start with the same two regularizer semantics
+    as the single-chip ``hybrid_lsmr`` ("correction": ``lam ||y||^2``,
+    matching the hybrid GMRES warm starts; "full": ``lam ||x0 + V y||^2``
+    — one extra fused psum per iteration for the replicated ``V^T x0``).
 
     ``lam``: scalar, or ``"gcv"`` — HyBR-style per-iteration adaptive
     selection on the replicated projected bidiagonal problem (every shard
@@ -763,17 +770,22 @@ def hybrid_lsmr_sharded(
     the stale-alpha semantics are recovered with selects."""
     if rank1_mode not in ("last", "first"):
         raise ValueError("rank1_mode must be 'last' or 'first'")
+    if x0_reg not in ("correction", "full"):
+        raise ValueError("x0_reg must be 'correction' or 'full'")
     mesh, p, m, n, maxit, is_panels = _prep(A, b, maxit, mesh, axis)
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    have_x0 = x0 is not None
+    if not have_x0:
+        x0 = jnp.zeros((n,), dtype=dtype)
     from hybrid_gmres_tpu.solvers.lsmr import (
         _hybrid_lsmr_projected, make_hybrid_lsmr_lam_fn)
 
     lam_fn = make_hybrid_lsmr_lam_fn(lam, gcv_grid, n, maxit, dtype)
 
-    def solver(A_loc, b_loc, xt_loc):
+    def solver(A_loc, b_loc, xt_loc, x0_loc):
         matvec, rmatvec, _ = _local_ops(A_loc, is_panels, axis, dtype,
                                         interpret)
         pdot, pnorm, pnormalize = _collectives(axis, dtype)
@@ -783,11 +795,19 @@ def hybrid_lsmr_sharded(
 
         b_norm = pnorm(b_loc)
         xt_norm = pnorm(xt_loc)
-        u, beta1, _ = pnormalize(b_loc)
+        rhs_loc = b_loc - matvec(x0_loc) if have_x0 else b_loc
+        u, beta1, _ = pnormalize(rhs_loc)
         v, alpha1, _ = pnormalize(rmatvec(u))
+
+        def roff(V_k, lam_k):
+            # "full": replicated V^T x0 needs ONE fused psum
+            if have_x0 and x0_reg == "full":
+                return -lam_k * jax.lax.psum(V_k.T @ x0_loc, axis)
+            return None
+
         V0 = jnp.zeros((nloc, maxit), dtype=dtype).at[:, 0].set(v)
         Bmat0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
-        x0 = jnp.zeros((nloc,), dtype=dtype)
+        d0 = jnp.zeros((nloc,), dtype=dtype)
         U0 = (jnp.zeros((mloc, maxit + 1), dtype).at[:, 0].set(u)
               if reorth else jnp.zeros((0, 0), dtype))
 
@@ -817,14 +837,15 @@ def hybrid_lsmr_sharded(
                 adv, V.at[:, jnp.minimum(k + 1, maxit - 1)].set(v2), V)
             U_n = U.at[:, k + 1].set(u_n) if reorth else U
 
+            lam_k = lam_fn(Bmat_n, kdim, b_norm)
             y = _hybrid_lsmr_projected(
                 Bmat_n, alpha_n, beta_k, alpha1 * beta1,
-                lam_fn(Bmat_n, kdim, b_norm), kdim, maxit, rank1_mode,
-                dtype)
+                lam_k, kdim, maxit, rank1_mode,
+                dtype, rhs_offset=roff(V_n, lam_k))
             x_n = V_n @ y
 
-            res_k = pnorm(b_loc - matvec(x_n)) / b_norm
-            err_k = pnorm(x_n - xt_loc) / xt_norm
+            res_k = pnorm(rhs_loc - matvec(x_n)) / b_norm
+            err_k = pnorm(x0_loc + x_n - xt_loc) / xt_norm
 
             adopt = active & ok_u & ok_v
             nan = jnp.asarray(jnp.nan, dtype)
@@ -843,17 +864,17 @@ def hybrid_lsmr_sharded(
             return (x, u, v, V, Bmat, alpha, active, niters, U), \
                 (res_rec, err_rec)
 
-        carry0 = (x0, u, v, V0, Bmat0, alpha1, jnp.bool_(True),
+        carry0 = (d0, u, v, V0, Bmat0, alpha1, jnp.bool_(True),
                   jnp.int32(0), U0)
-        (x, *_rest), (res_hist, err_hist) = jax.lax.scan(
+        (d, *_rest), (res_hist, err_hist) = jax.lax.scan(
             step, carry0, jnp.arange(maxit, dtype=jnp.int32))
         niters = _rest[6]
-        return x, err_hist, res_hist, niters
+        return x0_loc + d, err_hist, res_hist, niters
 
     f = jax.shard_map(
-        solver, mesh=mesh, in_specs=_specs(is_panels, axis),
+        solver, mesh=mesh, in_specs=_specs(is_panels, axis) + (P(axis),),
         out_specs=(P(axis), P(), P(), P()), check_vma=False)
-    x, err_hist, res_hist, niters = f(A, b, x_true)
+    x, err_hist, res_hist, niters = f(A, b, x_true, x0)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,

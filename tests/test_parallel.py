@@ -2063,3 +2063,28 @@ def test_sharded_batched_gcv_final_matches_single_chip():
         ba_gmres_sharded_batched(A_panels, BT_panels, jnp.asarray(b),
                                  maxit=4, lam="gcv-final", mesh=mesh,
                                  interpret=True)
+
+
+def test_hybrid_lsmr_sharded_warm_start_matches_single_chip(deriv2_prob):
+    """hybrid_lsmr_sharded x0 in both regularizer semantics == the
+    single-chip run (early iterations tight; late divergence on the
+    ill-conditioned operator is the usual short-recurrence physics)."""
+    from hybrid_gmres_tpu.parallel import hybrid_lsmr_sharded
+    from hybrid_gmres_tpu.solvers.lsmr import hybrid_lsmr
+
+    A, b, x_true = deriv2_prob
+    mesh = make_mesh()
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(np.asarray(x_true) +
+                     0.3 * rng.standard_normal(x_true.shape[0]))
+    for reg in ("correction", "full"):
+        r_ref = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=10, lam=1e-3,
+                            x0=x0, x0_reg=reg)
+        r_sh = hybrid_lsmr_sharded(A, b, x_true, tol=0.0, maxit=10,
+                                   lam=1e-3, mesh=mesh, x0=x0, x0_reg=reg)
+        np.testing.assert_allclose(np.asarray(r_sh.err_hist)[:5],
+                                   np.asarray(r_ref.err_hist)[:5],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(r_sh.res_hist)[:5],
+                                   np.asarray(r_ref.res_hist)[:5],
+                                   rtol=1e-6)
