@@ -29,7 +29,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from hybrid_gmres_tpu.solvers.common import GMRESResult
 from hybrid_gmres_tpu.solvers.gmres import _make_project_solve
-from hybrid_gmres_tpu.solvers.batched import _chunk_slices, _concat_results
+from hybrid_gmres_tpu.solvers.batched import (
+    _chunk_slices,
+    _concat_results,
+    _pad_batched,
+    _slice_result,
+)
 from hybrid_gmres_tpu.parallel.panels import (
     ShardedPanels,
     gather_window_mat,
@@ -68,7 +73,8 @@ def _make_B_mm(B_loc, b_forward, axis, dtype, interpret, comm_dtype=None):
 
 def _sharded_batched(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam,
                      gcv_grid, mesh, axis, interpret, x0, B_panels,
-                     comm_dtype, chunk_rhs, defer_histories):
+                     comm_dtype, chunk_rhs, defer_histories,
+                     resume_from=None):
     if mesh is None:
         from hybrid_gmres_tpu.parallel.mesh import make_mesh
 
@@ -95,6 +101,22 @@ def _sharded_batched(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam,
             jnp.asarray(x0, dtype).reshape(n, -1), (n, R_total))
     else:
         x0 = jnp.zeros((n, R_total), dtype)
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                    resume_fingerprint)
+
+    fp = resume_fingerprint(x0 if have_x0 else None, lam)
+    if resume_from is not None:
+        if defer_histories:
+            raise ValueError("defer_histories does not support resume_from")
+        if resume_from.IMG is None or (kind == "ab" and
+                                       resume_from.S is None):
+            raise ValueError("resume_from must come from the sharded "
+                             "batched solver (missing .IMG/.S)")
+        check_fingerprint(resume_from, x0 if have_x0 else None, lam)
+        if resume_from.active is None:
+            raise ValueError("sharded batched resume needs the "
+                             "checkpointed per-RHS active flags")
+        resume_from = _pad_batched(resume_from, maxit)
 
     trace_dim = n if kind == "ba" else m
     gcv_final = isinstance(lam, str) and lam == "gcv-final"
@@ -112,7 +134,11 @@ def _sharded_batched(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam,
         solve_r = jax.vmap(lambda H, t, kdim: _ps(H, None, t, kdim),
                            in_axes=(2, 1, None), out_axes=1)
 
-    def solver(A_loc, B_loc, b_loc, xt_loc, x0_loc):
+    k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
+    if resume_from is not None and k0 >= maxit:
+        raise ValueError(f"resume needs maxit > {k0}")
+
+    def solver(A_loc, B_loc, b_loc, xt_loc, x0_loc, *carry_in):
         nloc = n // p
         mloc = m // p
         R = b_loc.shape[1]
@@ -135,19 +161,30 @@ def _sharded_batched(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam,
         xt_norm = pnorm_cols(xt_loc)
 
         rhs_loc = b_loc - A_mm(x0_loc) if have_x0 else b_loc
-        if kind == "ba":
-            r0_loc = B_mm_scatter(rhs_loc)                  # (nloc, R)
-            nsp_loc = nloc
+        nsp_loc = nloc if kind == "ba" else mloc
+        if carry_in:
+            if kind == "ab":
+                (Q0, H0, xc0, active0, niters0, IMG0, S0, beta) = carry_in
+            else:
+                (Q0, H0, xc0, active0, niters0, IMG0, beta) = carry_in
+                S0 = None
         else:
-            r0_loc = rhs_loc                                # (mloc, R)
-            nsp_loc = mloc
-        beta = pnorm_cols(r0_loc)                           # (R,)
-        beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
-        Q0 = jnp.zeros((nsp_loc, maxit + 1, R), dtype).at[:, 0, :].set(
-            jnp.where(beta > 0, r0_loc / beta_safe, jnp.zeros_like(r0_loc)))
-        H0 = jnp.zeros((maxit + 1, maxit, R), dtype)
-        IMG0 = jnp.zeros((mloc, maxit, R), dtype)
-        S0 = jnp.zeros((nloc, maxit, R), dtype) if kind == "ab" else None
+            if kind == "ba":
+                r0_loc = B_mm_scatter(rhs_loc)              # (nloc, R)
+            else:
+                r0_loc = rhs_loc                            # (mloc, R)
+            beta = pnorm_cols(r0_loc)                       # (R,)
+            beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
+            Q0 = jnp.zeros((nsp_loc, maxit + 1, R), dtype).at[:, 0, :].set(
+                jnp.where(beta > 0, r0_loc / beta_safe,
+                          jnp.zeros_like(r0_loc)))
+            H0 = jnp.zeros((maxit + 1, maxit, R), dtype)
+            IMG0 = jnp.zeros((mloc, maxit, R), dtype)
+            S0 = (jnp.zeros((nloc, maxit, R), dtype)
+                  if kind == "ab" else None)
+            xc0 = x0_loc
+            active0 = beta > 0
+            niters0 = jnp.zeros((R,), jnp.int32)
         t = jnp.zeros((maxit + 1, R), dtype).at[0].set(beta)
 
         def cgs2(Q, H, W, k, active):
@@ -280,25 +317,31 @@ def _sharded_batched(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam,
             active = active & ~stop
             return (Qn, Hn, x, active, niters, IMG, S), (res_rec, err_rec)
 
-        carry0 = (Q0, H0, x0_loc, beta > 0, jnp.zeros((R,), jnp.int32),
-                  IMG0, S0)
+        carry0 = (Q0, H0, xc0, active0, niters0, IMG0, S0)
         (Q, H, x, active_f, niters, IMG, S), (res_rows, err_rows) = \
-            jax.lax.scan(body, carry0, jnp.arange(maxit, dtype=jnp.int32))
-        return (x, err_rows, res_rows, niters, Q, H, beta, IMG,
-                S0 if S is None else S, active_f)
+            jax.lax.scan(body, carry0,
+                         jnp.arange(k0, maxit, dtype=jnp.int32))
+        return (x, err_rows, res_rows, niters, Q, H, beta, IMG, S,
+                active_f)
 
     sp_axis = P(axis)                        # panels: leading device axis
     sp_rows = P(axis, None)                  # (space, R) row-sharded
+    sp_basis = P(axis, None, None)           # (space, k, R) row-sharded
     in_specs = (sp_axis, sp_axis, sp_rows, sp_rows, sp_rows)
+    carry_specs = (sp_basis, P(), sp_rows, P(), P(), sp_basis, P())
+    if kind == "ab":
+        carry_specs = carry_specs[:6] + (sp_basis, P())
+    if resume_from is not None:
+        in_specs = in_specs + carry_specs
     out_specs = (
         sp_rows,                             # x (n, R)
         P(), P(),                            # histories (maxit, R)
         P(),                                 # niters (R,)
-        P(axis, None, None),                 # Q (space, maxit+1, R)
+        sp_basis,                            # Q (space, maxit+1, R)
         P(),                                 # H
         P(),                                 # beta
-        P(axis, None, None),                 # IMG (m, maxit, R)
-        P(axis, None, None),                 # S (n, maxit, R) (BA: zeros)
+        sp_basis,                            # IMG (m, maxit, R)
+        sp_basis,                            # S (n, maxit, R) (BA: None)
         P(),                                 # active
     )
     f = jax.shard_map(solver, mesh=mesh, in_specs=in_specs,
@@ -306,15 +349,28 @@ def _sharded_batched(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam,
 
     parts = []
     for sl in _chunk_slices(R_total, chunk_rhs):
-        x9 = f(A_panels, Bp, b[:, sl], x_true[:, sl], x0[:, sl])
-        (x, err_hist, res_hist, niters, Q, H, beta, IMG, S, active_f) = x9
+        args = (A_panels, Bp, b[:, sl], x_true[:, sl], x0[:, sl])
+        if resume_from is not None:
+            rs = _slice_result(resume_from, sl)
+            carry = (rs.Q, rs.H, rs.x, rs.active, rs.niters, rs.IMG)
+            carry = (carry + (rs.S, rs.beta) if kind == "ab"
+                     else carry + (rs.beta,))
+            args = args + carry
+        x10 = f(*args)
+        (x, err_new, res_new, niters, Q, H, beta, IMG, S, active_f) = x10
+        if resume_from is not None:
+            rs = _slice_result(resume_from, sl)
+            res_hist = jnp.concatenate([rs.res_hist, res_new])
+            err_hist = jnp.concatenate([rs.err_hist, err_new])
+        else:
+            res_hist, err_hist = res_new, err_new
         parts.append(GMRESResult(
             x, err_hist, res_hist, niters, Q, H, beta, IMG=IMG,
             S=S if kind == "ab" else None, active=active_f))
     res = _concat_results(parts)
     if not have_xt:
         res = res._replace(err_hist=jnp.full_like(res.err_hist, jnp.nan))
-    return res
+    return res._replace(fp=fp)
 
 
 def ba_gmres_sharded_batched(
@@ -334,6 +390,7 @@ def ba_gmres_sharded_batched(
     comm_dtype=None,
     chunk_rhs: int | None = 8,
     defer_histories: bool = False,
+    resume_from: GMRESResult | None = None,
 ) -> GMRESResult:
     """Sharded multi-RHS (hybrid) BA-GMRES over R right-hand sides.
 
@@ -351,11 +408,15 @@ def ba_gmres_sharded_batched(
     VMEM-pressure optimum; None disables).  ``defer_histories``: Arnoldi-
     only scan + post-scan batched solves/histories at ``Precision.HIGHEST``
     (same numbers, fixed-budget serving mode).  ``B_panels``/``comm_dtype``
-    as in ``ba_gmres_sharded_pallas``."""
+    as in ``ba_gmres_sharded_pallas``.  ``resume_from``: a prior result of
+    THIS solver — continues every RHS's Arnoldi recurrence exactly with
+    the carried per-RHS active flags, state kept sharded (pass the same
+    ``x0``/``lam``/``chunk_rhs``; fingerprint-guarded; in-scan mode
+    only)."""
     return _sharded_batched("ba", A_panels, BT_panels, b, x_true, tol,
                             maxit, lam, gcv_grid, mesh, axis, interpret,
                             x0, B_panels, comm_dtype, chunk_rhs,
-                            defer_histories)
+                            defer_histories, resume_from)
 
 
 def ab_gmres_sharded_batched(
@@ -375,6 +436,7 @@ def ab_gmres_sharded_batched(
     comm_dtype=None,
     chunk_rhs: int | None = 8,
     defer_histories: bool = False,
+    resume_from: GMRESResult | None = None,
 ) -> GMRESResult:
     """Sharded multi-RHS (hybrid) AB-GMRES (m-space Krylov bases sharded
     over rays; solutions composed from the n-sharded ``B Q`` images; per
@@ -383,4 +445,4 @@ def ab_gmres_sharded_batched(
     return _sharded_batched("ab", A_panels, BT_panels, b, x_true, tol,
                             maxit, lam, gcv_grid, mesh, axis, interpret,
                             x0, B_panels, comm_dtype, chunk_rhs,
-                            defer_histories)
+                            defer_histories, resume_from)

@@ -2088,3 +2088,46 @@ def test_hybrid_lsmr_sharded_warm_start_matches_single_chip(deriv2_prob):
         np.testing.assert_allclose(np.asarray(r_sh.res_hist)[:5],
                                    np.asarray(r_ref.res_hist)[:5],
                                    rtol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["ba", "ab"])
+def test_sharded_batched_resume_equals_uninterrupted(kind):
+    """Sharded batched resume continues every RHS's recurrence with the
+    carried per-RHS active flags (state sharded across the checkpoint,
+    warm start preserved, chunking preserved); wrong-x0 resume raises."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ab_gmres_sharded_batched, ba_gmres_sharded_batched,
+        shard_bucketed_panels)
+
+    Ad, Bd, b, x_true = _batched_pair(R=5, seed=21)
+    mesh = make_mesh()
+    A_panels = shard_bucketed_panels(sp.csr_matrix(Ad), 8)
+    BT_panels = shard_bucketed_panels(sp.csr_matrix(Bd.T), 8)
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray((x_true + 0.1 * rng.standard_normal(x_true.shape)
+                      ).astype(np.float32))
+    sh = ba_gmres_sharded_batched if kind == "ba" else \
+        ab_gmres_sharded_batched
+    kw = dict(tol=0.0, lam=1e-3, mesh=mesh, interpret=True, x0=x0,
+              chunk_rhs=2)
+    full = sh(A_panels, BT_panels, jnp.asarray(b), jnp.asarray(x_true),
+              maxit=8, **kw)
+    part = sh(A_panels, BT_panels, jnp.asarray(b), jnp.asarray(x_true),
+              maxit=4, **kw)
+    resumed = sh(A_panels, BT_panels, jnp.asarray(b),
+                 jnp.asarray(x_true), maxit=8, resume_from=part, **kw)
+    np.testing.assert_allclose(np.asarray(resumed.res_hist),
+                               np.asarray(full.res_hist), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(resumed.err_hist),
+                               np.asarray(full.err_hist), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(full.x),
+                               atol=1e-6)
+    with pytest.raises(ValueError, match="fingerprint"):
+        sh(A_panels, BT_panels, jnp.asarray(b), maxit=8, tol=0.0,
+           lam=1e-3, mesh=mesh, interpret=True, x0=x0 + 0.5, chunk_rhs=2,
+           resume_from=part)
+    with pytest.raises(ValueError, match="defer"):
+        sh(A_panels, BT_panels, jnp.asarray(b), maxit=8, lam=1e-3,
+           mesh=mesh, interpret=True, x0=x0, defer_histories=True,
+           resume_from=part)
