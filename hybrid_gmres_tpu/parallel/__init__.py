@@ -27,6 +27,10 @@ from hybrid_gmres_tpu.parallel.sharded_batched import (
     ab_gmres_sharded_batched,
     ba_gmres_sharded_batched,
 )
+from hybrid_gmres_tpu.parallel.sharded_batched2d import (
+    ab_gmres_sharded_batched_2d,
+    ba_gmres_sharded_batched_2d,
+)
 from hybrid_gmres_tpu.parallel.sharded_rtp import (
     ab_gmres_rtp_sharded,
     ba_gmres_rtp_sharded,
@@ -90,6 +94,8 @@ __all__ = [
     "ab_gmres_sharded_pallas_restarted",
     "ba_gmres_sharded_batched",
     "ab_gmres_sharded_batched",
+    "ba_gmres_sharded_batched_2d",
+    "ab_gmres_sharded_batched_2d",
     "ba_gmres_rtp_sharded",
     "ab_gmres_rtp_sharded",
     "lsqr_sharded",

@@ -40,7 +40,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from hybrid_gmres_tpu.ops.sparse import bucketed_block_ell_from_csr
-from hybrid_gmres_tpu.ops.spmv_pallas import _bucket_matvec, _bucket_rmatvec
+from hybrid_gmres_tpu.ops.spmv_pallas import (
+    _bucket_matmat,
+    _bucket_matvec,
+    _bucket_rmatmat,
+    _bucket_rmatvec,
+)
 from hybrid_gmres_tpu.solvers.common import GMRESResult
 
 __all__ = [
@@ -268,6 +273,77 @@ def tile_rmatvec(tp: TiledPanels, u_loc, interpret: bool = False):
             interpret=interpret, row_group=tp.row_group, packed4=tp.packed4)
         off += nbr_b
     return y2d.reshape(-1)[:nloc]
+
+
+def tile_matmat(tp: TiledPanels, X_loc, interpret: bool = False):
+    """Multi-RHS forward tile kernel: UNSCALED partial (m/pr, R) =
+    Q_tile @ X_loc for this device's (n/pc, R) col-shard — one tile read
+    serves all R columns (the 2-D serving-batch primitive); psum over the
+    col axis completes the rows."""
+    br, bc = tp.block_shape
+    mloc = tp.shape[0] // tp.pr
+    R = X_loc.shape[1]
+    x3d = jnp.zeros((tp.ncb_tile * bc, R), jnp.float32).at[
+        : X_loc.shape[0]].set(X_loc.astype(jnp.float32)).reshape(
+        tp.ncb_tile, bc, R).transpose(0, 2, 1)
+    ys = []
+    for blocks, bcols in tp.buckets:
+        ys.append(_bucket_matmat(bcols[0], blocks[0], x3d,
+                                 interpret=interpret,
+                                 row_group=tp.row_group,
+                                 packed4=tp.packed4))
+    y_sorted = jnp.concatenate(ys, axis=0).reshape(-1, br, R)
+    return y_sorted[tp.inv_perm[0]].reshape(-1, R)[:mloc]
+
+
+def tile_rmatmat(tp: TiledPanels, U_loc, interpret: bool = False):
+    """Multi-RHS transposed tile kernel: partial (n/pc, R) =
+    Q_tile^T @ U_loc for this device's (m/pr, R) row shard (pre-scaled by
+    the caller for quantized tiles); psum over the row axis completes the
+    columns."""
+    br, bc = tp.block_shape
+    mloc = tp.shape[0] // tp.pr
+    nloc = tp.shape[1] // tp.pc
+    R = U_loc.shape[1]
+    nbr = -(-mloc // br)
+    perm = tp.fwd_perm[0]
+    u_pad = jnp.zeros((nbr * br, R), jnp.float32).at[:mloc].set(
+        U_loc.astype(jnp.float32)).reshape(nbr, br, R)
+    u_sorted = jnp.where((perm >= 0)[:, None, None],
+                         u_pad[jnp.clip(perm, 0)], 0.0)
+    y3d = jnp.zeros((tp.ncb_tile, R, bc), jnp.float32)
+    off = 0
+    for blocks, bcols in tp.buckets:
+        nbr_b = blocks.shape[1]
+        y3d = y3d + _bucket_rmatmat(
+            bcols[0], blocks[0], u_sorted[off:off + nbr_b], tp.ncb_tile,
+            interpret=interpret, row_group=tp.row_group,
+            packed4=tp.packed4)
+        off += nbr_b
+    return y3d.transpose(0, 2, 1).reshape(-1, R)[:nloc]
+
+
+def tiled_local_mms(tp: TiledPanels, axes, dtype, interpret: bool = False):
+    """(matmat, rmatmat) multi-RHS twins of :func:`tiled_local_ops`: one
+    psum per application (col axis forward, row axis transposed), global
+    row scales outside the kernels for quantized tiles."""
+    ar, ac = axes
+
+    def matmat(V_loc):
+        part = tile_matmat(tp, V_loc, interpret=interpret)
+        Y = jax.lax.psum(part, ac)
+        if tp.row_scale is not None:
+            Y = tp.row_scale[0][:, None] * Y
+        return Y.astype(dtype)
+
+    def rmatmat(U_loc):
+        U = U_loc
+        if tp.row_scale is not None:
+            U = tp.row_scale[0][:, None] * U.astype(jnp.float32)
+        part = tile_rmatmat(tp, U, interpret=interpret)
+        return jax.lax.psum(part, ar).astype(dtype)
+
+    return matmat, rmatmat
 
 
 def tiled_local_ops(tp: TiledPanels, axes, dtype, interpret: bool = False):

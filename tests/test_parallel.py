@@ -2131,3 +2131,53 @@ def test_sharded_batched_resume_equals_uninterrupted(kind):
         sh(A_panels, BT_panels, jnp.asarray(b), maxit=8, lam=1e-3,
            mesh=mesh, interpret=True, x0=x0, defer_histories=True,
            resume_from=part)
+
+
+@pytest.mark.parametrize("kind", ["ba", "ab"])
+def test_sharded_batched_2d_matches_single_device(kind):
+    """2-D tiled multi-RHS GMRES == the single-device batched solver per
+    RHS (multi-RHS tile SpMM + fused psums on both mesh axes), incl. the
+    deferred serving mode, warm start and forward-B layout — the last
+    capability-matrix hole in the batched row."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ab_gmres_sharded_batched_2d, ba_gmres_sharded_batched_2d,
+        make_mesh_2d, tile_backprojector_forward, tile_bucketed_panels)
+    from hybrid_gmres_tpu.solvers.batched import (ab_gmres_batched,
+                                                  ba_gmres_batched)
+
+    Ad, Bd, b, x_true = _batched_pair(seed=31)
+    mesh2 = make_mesh_2d((4, 2))
+    A_t = tile_bucketed_panels(sp.csr_matrix(Ad), 4, 2)
+    BT_t = tile_bucketed_panels(sp.csr_matrix(Bd.T), 4, 2)
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray((x_true + 0.1 * rng.standard_normal(x_true.shape)
+                      ).astype(np.float32))
+    sh = ba_gmres_sharded_batched_2d if kind == "ba" else \
+        ab_gmres_sharded_batched_2d
+    ref_f = ba_gmres_batched if kind == "ba" else ab_gmres_batched
+    r_sh = sh(A_t, BT_t, jnp.asarray(b), jnp.asarray(x_true), tol=0.0,
+              maxit=6, lam=1e-3, mesh=mesh2, interpret=True, x0=x0)
+    r_ref = ref_f(jnp.asarray(Ad), jnp.asarray(Bd), jnp.asarray(b),
+                  jnp.asarray(x_true), tol=0.0, maxit=6, lam=1e-3,
+                  chunk_rhs=None, x0=x0)
+    np.testing.assert_allclose(np.asarray(r_sh.res_hist),
+                               np.asarray(r_ref.res_hist), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_sh.err_hist),
+                               np.asarray(r_ref.err_hist), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_ref.x),
+                               rtol=1e-3, atol=2e-5)
+    # deferred twin reproduces the masked in-scan numbers
+    r_d = sh(A_t, BT_t, jnp.asarray(b), jnp.asarray(x_true), tol=0.0,
+             maxit=6, lam=1e-3, mesh=mesh2, interpret=True, x0=x0,
+             defer_histories=True)
+    np.testing.assert_allclose(np.asarray(r_d.err_hist),
+                               np.asarray(r_sh.err_hist), atol=1e-5)
+    assert np.array_equal(np.asarray(r_d.niters), np.asarray(r_sh.niters))
+    if kind == "ba":
+        B_t = tile_backprojector_forward(sp.csr_matrix(Bd), 4, 2)
+        r_f = sh(A_t, None, jnp.asarray(b), jnp.asarray(x_true), tol=0.0,
+                 maxit=6, lam=1e-3, mesh=mesh2, interpret=True, x0=x0,
+                 B_tiles=B_t)
+        np.testing.assert_allclose(np.asarray(r_f.res_hist),
+                                   np.asarray(r_sh.res_hist), atol=2e-5)
