@@ -393,3 +393,35 @@ def test_sharded_batched_1dev_mosaic_matches_batched(onedev_problem):
     np.testing.assert_allclose(np.asarray(r2.err_hist),
                                np.asarray(r.err_hist), rtol=2e-4,
                                atol=1e-6)
+
+
+def test_sharded_batched_2d_1x1_mosaic(onedev_problem):
+    """Multi-RHS tile SpMM kernels (tile_matmat/tile_rmatmat) under real
+    Mosaic on a 1x1 tile grid == the single-chip batched solver."""
+    from hybrid_gmres_tpu.ops.spmv_pallas import PallasBSROperator
+    from hybrid_gmres_tpu.parallel import (ba_gmres_sharded_batched_2d,
+                                           make_mesh_2d,
+                                           tile_bucketed_panels)
+    from hybrid_gmres_tpu.solvers.batched import ba_gmres_batched
+
+    A, B, x_true, b, A_p, BT_p = onedev_problem
+    rng = np.random.default_rng(7)
+    R = 3
+    X_true = rng.standard_normal((A.shape[1], R)).astype(np.float32)
+    Bmat = jnp.asarray(A @ X_true, dtype=jnp.float32)
+    mesh2 = make_mesh_2d((1, 1))
+    A_t = tile_bucketed_panels(A, 1, 1)
+    BT_t = tile_bucketed_panels(B.T.tocsr(), 1, 1)
+    r = ba_gmres_sharded_batched_2d(A_t, BT_t, Bmat, jnp.asarray(X_true),
+                                    tol=0.0, maxit=8, lam=1e-3, mesh=mesh2,
+                                    interpret=False)
+    A_op = PallasBSROperator.from_csr(A, with_adjoint=False)
+    B_op = PallasBSROperator.from_csr(B, with_adjoint=False)
+    rd = ba_gmres_batched(A_op, B_op, Bmat, jnp.asarray(X_true), tol=0.0,
+                          maxit=8, lam=1e-3, chunk_rhs=None)
+    np.testing.assert_allclose(np.asarray(r.err_hist),
+                               np.asarray(rd.err_hist), rtol=2e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r.res_hist),
+                               np.asarray(rd.res_hist), rtol=2e-3,
+                               atol=1e-5)
