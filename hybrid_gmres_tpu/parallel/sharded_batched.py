@@ -71,6 +71,190 @@ def _make_B_mm(B_loc, b_forward, axis, dtype, interpret, comm_dtype=None):
     return B_mm
 
 
+def _mesh_batched_core(kind, maxit, tol, dtype, nloc, mloc, A_mm, B_mm,
+                       psum_coeff, pn_m, pn_sp, pn_n, b_loc, xt_loc,
+                       x0_loc, have_x0, solve_r, select_lam,
+                       defer_histories, k0=0, carry_in=()):
+    """Shared shard-local multi-RHS GMRES core for the 1-D panel and 2-D
+    tiled tiers (one body so fixes to the batched Arnoldi / deferred
+    logic cannot drift between them; the single-chip
+    ``solvers.batched`` core remains their p=1 semantics oracle).
+
+    The tiers inject their communication primitives: ``A_mm``/``B_mm``
+    (shard-local multi-RHS operator products, collectives inside),
+    ``psum_coeff`` (the fused CGS2 coefficient reduction over the basis
+    axis/axes) and the per-RHS column-norm functions ``pn_m`` (m-space),
+    ``pn_sp`` (Krylov basis space) and ``pn_n`` (solution space) — on a
+    1-D mesh all three are the same single-axis reduction; on a 2-D mesh
+    they ride different axes.  ``carry_in``: resume carry (in-scan mode
+    only), ordered as the returned tuple's (Q, H, x, active, niters, IMG
+    [, S], beta)."""
+    R = b_loc.shape[1]
+
+    b_norm = pn_m(b_loc)                                    # (R,)
+    xt_norm = pn_n(xt_loc)
+
+    rhs_loc = b_loc - A_mm(x0_loc) if have_x0 else b_loc
+    nsp_loc = nloc if kind == "ba" else mloc
+    if carry_in:
+        if kind == "ab":
+            (Q0, H0, xc0, active0, niters0, IMG0, S0, beta) = carry_in
+        else:
+            (Q0, H0, xc0, active0, niters0, IMG0, beta) = carry_in
+            S0 = None
+    else:
+        if kind == "ba":
+            r0_loc = B_mm(rhs_loc)                          # (nloc, R)
+        else:
+            r0_loc = rhs_loc                                # (mloc, R)
+        beta = pn_sp(r0_loc)                                # (R,)
+        beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
+        Q0 = jnp.zeros((nsp_loc, maxit + 1, R), dtype).at[:, 0, :].set(
+            jnp.where(beta > 0, r0_loc / beta_safe,
+                      jnp.zeros_like(r0_loc)))
+        H0 = jnp.zeros((maxit + 1, maxit, R), dtype)
+        IMG0 = jnp.zeros((mloc, maxit, R), dtype)
+        S0 = (jnp.zeros((nloc, maxit, R), dtype)
+              if kind == "ab" else None)
+        xc0 = x0_loc
+        active0 = beta > 0
+        niters0 = jnp.zeros((R,), jnp.int32)
+    t = jnp.zeros((maxit + 1, R), dtype).at[0].set(beta)
+
+    def cgs2(Q, H, W, k, active):
+        """Distributed twin of ``solvers.batched._batched_cgs2``: the
+        einsum coefficient blocks gain one fused psum per pass."""
+        c1 = psum_coeff(jnp.einsum("nkr,nr->kr", Q, W))
+        W = W - jnp.einsum("nkr,kr->nr", Q, c1)
+        c2 = psum_coeff(jnp.einsum("nkr,nr->kr", Q, W))
+        W = W - jnp.einsum("nkr,kr->nr", Q, c2)
+        h = c1 + c2
+        hnorm = pn_sp(W)
+        breakdown = hnorm <= jnp.zeros((), dtype)
+        hsafe = jnp.where(breakdown, jnp.ones((), dtype), hnorm)
+        h = h.at[k + 1].set(hnorm)
+        Hn = H.at[:, k, :].set(h)
+        Qn = Q.at[:, k + 1, :].set(
+            jnp.where(breakdown[None, :], jnp.zeros_like(W), W / hsafe))
+        Qn = jnp.where(active[None, None, :], Qn, Q)
+        Hn = jnp.where(active[None, None, :], Hn, H)
+        return Qn, Hn, breakdown
+
+    def expand(Q, H, IMG, S, k, active, mask_images=False):
+        """One Arnoldi expansion step (SpMMs + image store + CGS2).
+        ``mask_images``: zero column k of IMG/S for frozen RHS (the
+        deferred mode — its post-scan einsums read ALL columns; the
+        in-scan mode writes unconditionally like the single-chip
+        ``_batched_core``, whose masked adoption never reads them)."""
+        gate = (jnp.where(active[None, :], jnp.ones((), dtype),
+                          jnp.zeros((), dtype))
+                if mask_images else jnp.ones((), dtype))
+        if kind == "ba":
+            U = A_mm(Q[:, k, :])                            # (mloc, R)
+            W = B_mm(U)                                     # (nloc, R)
+            IMG = IMG.at[:, k, :].set(U * gate)
+        else:
+            Sk = B_mm(Q[:, k, :])                           # (nloc, R)
+            W = A_mm(Sk)                                    # (mloc, R)
+            IMG = IMG.at[:, k, :].set(W * gate)
+            S = S.at[:, k, :].set(Sk * gate)
+        Qn, Hn, breakdown = cgs2(Q, H, W, k, active)
+        return Qn, Hn, IMG, S, breakdown
+
+    if defer_histories:
+        def body(carry, k):
+            Q, H, IMG, S, active = carry
+            Qn, Hn, IMG, S, breakdown = expand(Q, H, IMG, S, k, active,
+                                               mask_images=True)
+            ok = active
+            bkd_rec = active & breakdown
+            active = active & ~breakdown
+            return (Qn, Hn, IMG, S, active), (ok, bkd_rec)
+
+        (Q, H, IMG, S, _), (oks, bkds) = jax.lax.scan(
+            body, (Q0, H0, IMG0, S0, beta > 0),
+            jnp.arange(maxit, dtype=jnp.int32))
+        nsteps = jnp.sum(oks.astype(jnp.int32), axis=0)      # (R,)
+        broke = jnp.any(bkds, axis=0)
+
+        ks = jnp.arange(1, maxit + 1, dtype=jnp.int32)
+        if select_lam is not None:
+            # gcv-final: H/t are replicated, so every shard selects
+            # the same per-RHS lambda with zero extra collectives
+            from hybrid_gmres_tpu.krylov.projected import (
+                projected_tikhonov_solve)
+
+            lam_r = select_lam(H, t, nsteps)
+            solve_rl = jax.vmap(
+                lambda Hr, tr, l, kd: projected_tikhonov_solve(
+                    Hr, tr, l, kd),
+                in_axes=(2, 1, 0, None), out_axes=1)
+            Y = jax.vmap(lambda kd: solve_rl(H, t, lam_r, kd))(ks)
+        else:
+            Y = jax.vmap(lambda kd: solve_r(H, t, kd))(ks)
+
+        # HIGHEST: post-scan einsums must reproduce the in-scan
+        # matvecs (see solvers/batched.py)
+        hi = jax.lax.Precision.HIGHEST
+        RES_loc = rhs_loc[:, None, :] - jnp.einsum(
+            "mkr,jkr->mjr", IMG, Y, precision=hi)
+        res_full = pn_m(RES_loc) / b_norm                    # (maxit, R)
+        basis = S if kind == "ab" else Q[:, :maxit, :]
+        X_loc = jnp.einsum("nkr,jkr->njr", basis, Y, precision=hi)
+        if have_x0:
+            X_loc = X_loc + x0_loc[:, None, :]
+        err_full = pn_n(X_loc - xt_loc[:, None, :]) / xt_norm
+
+        valid = ks[:, None] <= nsteps[None, :]
+        hit = valid & (res_full <= tol)
+        any_hit = jnp.any(hit, axis=0)
+        first_hit = jnp.argmax(hit, axis=0) + 1
+        niters = jnp.where(any_hit, first_hit.astype(jnp.int32), nsteps)
+        rec = ks[:, None] <= niters[None, :]
+        nan = jnp.asarray(jnp.nan, dtype)
+        res_hist = jnp.where(rec, res_full, nan)
+        err_hist = jnp.where(rec, err_full, nan)
+        slot = jnp.maximum(niters - 1, 0)
+        x = jax.vmap(
+            lambda Xr, sl, ok_, xf: jnp.where(ok_, Xr[:, sl], xf),
+            in_axes=(2, 0, 0, 1), out_axes=1)(
+                X_loc, slot, niters > 0, x0_loc)
+        active_f = (nsteps == maxit) & ~any_hit & ~broke
+        return (x, err_hist, res_hist, niters, Q, H, beta, IMG, S,
+                active_f)
+
+    def body(carry, k):
+        Q, H, x, active, niters, IMG, S = carry
+        Qn, Hn, IMG, S, breakdown = expand(Q, H, IMG, S, k, active)
+        kdim = k + 1
+        y = solve_r(Hn, t, kdim)                            # (maxit, R)
+        if kind == "ab":
+            xk = jnp.einsum("nkr,kr->nr", S, y)
+        else:
+            xk = jnp.einsum("nkr,kr->nr", Qn[:, :maxit, :], y)
+        if have_x0:
+            xk = x0_loc + xk
+        r_loc = rhs_loc - jnp.einsum("mkr,kr->mr", IMG, y)
+        res = pn_m(r_loc) / b_norm
+        err = pn_n(xk - xt_loc) / xt_norm
+
+        adopt = active
+        x = jnp.where(adopt[None, :], xk, x)
+        nan = jnp.asarray(jnp.nan, dtype)
+        res_rec = jnp.where(adopt, res, nan)
+        err_rec = jnp.where(adopt, err, nan)
+        niters = jnp.where(adopt, kdim, niters)
+        stop = breakdown | (res <= tol)
+        active = active & ~stop
+        return (Qn, Hn, x, active, niters, IMG, S), (res_rec, err_rec)
+
+    carry0 = (Q0, H0, xc0, active0, niters0, IMG0, S0)
+    (Q, H, x, active_f, niters, IMG, S), (res_rows, err_rows) = \
+        jax.lax.scan(body, carry0,
+                     jnp.arange(k0, maxit, dtype=jnp.int32))
+    return (x, err_rows, res_rows, niters, Q, H, beta, IMG, S, active_f)
+
+
 def _sharded_batched(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam,
                      gcv_grid, mesh, axis, interpret, x0, B_panels,
                      comm_dtype, chunk_rhs, defer_histories,
@@ -141,7 +325,6 @@ def _sharded_batched(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam,
     def solver(A_loc, B_loc, b_loc, xt_loc, x0_loc, *carry_in):
         nloc = n // p
         mloc = m // p
-        R = b_loc.shape[1]
 
         def pnorm_cols(u_loc):
             # per-RHS global column norms: ONE fused psum for all R
@@ -156,173 +339,14 @@ def _sharded_batched(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam,
 
         B_mm_scatter = _make_B_mm(B_loc, b_forward, axis, dtype, interpret,
                                   comm_dtype=comm_dtype)
+        psum_coeff = lambda c: jax.lax.psum(c, axis)
 
-        b_norm = pnorm_cols(b_loc)                          # (R,)
-        xt_norm = pnorm_cols(xt_loc)
-
-        rhs_loc = b_loc - A_mm(x0_loc) if have_x0 else b_loc
-        nsp_loc = nloc if kind == "ba" else mloc
-        if carry_in:
-            if kind == "ab":
-                (Q0, H0, xc0, active0, niters0, IMG0, S0, beta) = carry_in
-            else:
-                (Q0, H0, xc0, active0, niters0, IMG0, beta) = carry_in
-                S0 = None
-        else:
-            if kind == "ba":
-                r0_loc = B_mm_scatter(rhs_loc)              # (nloc, R)
-            else:
-                r0_loc = rhs_loc                            # (mloc, R)
-            beta = pnorm_cols(r0_loc)                       # (R,)
-            beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
-            Q0 = jnp.zeros((nsp_loc, maxit + 1, R), dtype).at[:, 0, :].set(
-                jnp.where(beta > 0, r0_loc / beta_safe,
-                          jnp.zeros_like(r0_loc)))
-            H0 = jnp.zeros((maxit + 1, maxit, R), dtype)
-            IMG0 = jnp.zeros((mloc, maxit, R), dtype)
-            S0 = (jnp.zeros((nloc, maxit, R), dtype)
-                  if kind == "ab" else None)
-            xc0 = x0_loc
-            active0 = beta > 0
-            niters0 = jnp.zeros((R,), jnp.int32)
-        t = jnp.zeros((maxit + 1, R), dtype).at[0].set(beta)
-
-        def cgs2(Q, H, W, k, active):
-            """Distributed twin of ``solvers.batched._batched_cgs2``: the
-            einsum coefficient blocks gain one fused psum per pass."""
-            c1 = jax.lax.psum(jnp.einsum("nkr,nr->kr", Q, W), axis)
-            W = W - jnp.einsum("nkr,kr->nr", Q, c1)
-            c2 = jax.lax.psum(jnp.einsum("nkr,nr->kr", Q, W), axis)
-            W = W - jnp.einsum("nkr,kr->nr", Q, c2)
-            h = c1 + c2
-            hnorm = pnorm_cols(W)
-            breakdown = hnorm <= jnp.zeros((), dtype)
-            hsafe = jnp.where(breakdown, jnp.ones((), dtype), hnorm)
-            h = h.at[k + 1].set(hnorm)
-            Hn = H.at[:, k, :].set(h)
-            Qn = Q.at[:, k + 1, :].set(
-                jnp.where(breakdown[None, :], jnp.zeros_like(W), W / hsafe))
-            Qn = jnp.where(active[None, None, :], Qn, Q)
-            Hn = jnp.where(active[None, None, :], Hn, H)
-            return Qn, Hn, breakdown
-
-        def expand(Q, H, IMG, S, k, active, mask_images=False):
-            """One Arnoldi expansion step (SpMMs + image store + CGS2).
-            ``mask_images``: zero column k of IMG/S for frozen RHS (the
-            deferred mode — its post-scan einsums read ALL columns; the
-            in-scan mode writes unconditionally like the single-chip
-            ``_batched_core``, whose masked adoption never reads them)."""
-            gate = (jnp.where(active[None, :], jnp.ones((), dtype),
-                              jnp.zeros((), dtype))
-                    if mask_images else jnp.ones((), dtype))
-            if kind == "ba":
-                U = A_mm(Q[:, k, :])                        # (mloc, R)
-                W = B_mm_scatter(U)                         # (nloc, R)
-                IMG = IMG.at[:, k, :].set(U * gate)
-            else:
-                Sk = B_mm_scatter(Q[:, k, :])               # (nloc, R)
-                W = A_mm(Sk)                                # (mloc, R)
-                IMG = IMG.at[:, k, :].set(W * gate)
-                S = S.at[:, k, :].set(Sk * gate)
-            Qn, Hn, breakdown = cgs2(Q, H, W, k, active)
-            return Qn, Hn, IMG, S, breakdown
-
-        if defer_histories:
-            def body(carry, k):
-                Q, H, IMG, S, active = carry
-                Qn, Hn, IMG, S, breakdown = expand(Q, H, IMG, S, k, active,
-                                                   mask_images=True)
-                ok = active
-                bkd_rec = active & breakdown
-                active = active & ~breakdown
-                return (Qn, Hn, IMG, S, active), (ok, bkd_rec)
-
-            (Q, H, IMG, S, _), (oks, bkds) = jax.lax.scan(
-                body, (Q0, H0, IMG0, S0, beta > 0),
-                jnp.arange(maxit, dtype=jnp.int32))
-            nsteps = jnp.sum(oks.astype(jnp.int32), axis=0)  # (R,)
-            broke = jnp.any(bkds, axis=0)
-
-            ks = jnp.arange(1, maxit + 1, dtype=jnp.int32)
-            if select_lam is not None:
-                # gcv-final: H/t are replicated, so every shard selects
-                # the same per-RHS lambda with zero extra collectives
-                from hybrid_gmres_tpu.krylov.projected import (
-                    projected_tikhonov_solve)
-
-                lam_r = select_lam(H, t, nsteps)
-                solve_rl = jax.vmap(
-                    lambda Hr, tr, l, kd: projected_tikhonov_solve(
-                        Hr, tr, l, kd),
-                    in_axes=(2, 1, 0, None), out_axes=1)
-                Y = jax.vmap(lambda kd: solve_rl(H, t, lam_r, kd))(ks)
-            else:
-                Y = jax.vmap(lambda kd: solve_r(H, t, kd))(ks)
-
-            # HIGHEST: post-scan einsums must reproduce the in-scan
-            # matvecs (see solvers/batched.py)
-            hi = jax.lax.Precision.HIGHEST
-            RES_loc = rhs_loc[:, None, :] - jnp.einsum(
-                "mkr,jkr->mjr", IMG, Y, precision=hi)
-            res_full = jnp.sqrt(jax.lax.psum(
-                jnp.sum(RES_loc * RES_loc, axis=0), axis)) / b_norm
-            basis = S if kind == "ab" else Q[:, :maxit, :]
-            X_loc = jnp.einsum("nkr,jkr->njr", basis, Y, precision=hi)
-            if have_x0:
-                X_loc = X_loc + x0_loc[:, None, :]
-            D_loc = X_loc - xt_loc[:, None, :]
-            err_full = jnp.sqrt(jax.lax.psum(
-                jnp.sum(D_loc * D_loc, axis=0), axis)) / xt_norm
-
-            valid = ks[:, None] <= nsteps[None, :]
-            hit = valid & (res_full <= tol)
-            any_hit = jnp.any(hit, axis=0)
-            first_hit = jnp.argmax(hit, axis=0) + 1
-            niters = jnp.where(any_hit, first_hit.astype(jnp.int32), nsteps)
-            rec = ks[:, None] <= niters[None, :]
-            nan = jnp.asarray(jnp.nan, dtype)
-            res_hist = jnp.where(rec, res_full, nan)
-            err_hist = jnp.where(rec, err_full, nan)
-            slot = jnp.maximum(niters - 1, 0)
-            x = jax.vmap(
-                lambda Xr, sl, ok_, xf: jnp.where(ok_, Xr[:, sl], xf),
-                in_axes=(2, 0, 0, 1), out_axes=1)(
-                    X_loc, slot, niters > 0, x0_loc)
-            active_f = (nsteps == maxit) & ~any_hit & ~broke
-            return (x, err_hist, res_hist, niters, Q, H, beta, IMG,
-                    S0 if S is None else S, active_f)
-
-        def body(carry, k):
-            Q, H, x, active, niters, IMG, S = carry
-            Qn, Hn, IMG, S, breakdown = expand(Q, H, IMG, S, k, active)
-            kdim = k + 1
-            y = solve_r(Hn, t, kdim)                        # (maxit, R)
-            if kind == "ab":
-                xk = jnp.einsum("nkr,kr->nr", S, y)
-            else:
-                xk = jnp.einsum("nkr,kr->nr", Qn[:, :maxit, :], y)
-            if have_x0:
-                xk = x0_loc + xk
-            r_loc = rhs_loc - jnp.einsum("mkr,kr->mr", IMG, y)
-            res = pnorm_cols(r_loc) / b_norm
-            err = pnorm_cols(xk - xt_loc) / xt_norm
-
-            adopt = active
-            x = jnp.where(adopt[None, :], xk, x)
-            nan = jnp.asarray(jnp.nan, dtype)
-            res_rec = jnp.where(adopt, res, nan)
-            err_rec = jnp.where(adopt, err, nan)
-            niters = jnp.where(adopt, kdim, niters)
-            stop = breakdown | (res <= tol)
-            active = active & ~stop
-            return (Qn, Hn, x, active, niters, IMG, S), (res_rec, err_rec)
-
-        carry0 = (Q0, H0, xc0, active0, niters0, IMG0, S0)
-        (Q, H, x, active_f, niters, IMG, S), (res_rows, err_rows) = \
-            jax.lax.scan(body, carry0,
-                         jnp.arange(k0, maxit, dtype=jnp.int32))
-        return (x, err_rows, res_rows, niters, Q, H, beta, IMG, S,
-                active_f)
+        # 1-D mesh: all three spaces reduce over the SAME axis
+        return _mesh_batched_core(
+            kind, maxit, tol, dtype, nloc, mloc, A_mm, B_mm_scatter,
+            psum_coeff, pnorm_cols, pnorm_cols, pnorm_cols, b_loc, xt_loc,
+            x0_loc, have_x0, solve_r, select_lam, defer_histories,
+            k0=k0, carry_in=carry_in)
 
     sp_axis = P(axis)                        # panels: leading device axis
     sp_rows = P(axis, None)                  # (space, R) row-sharded
@@ -359,7 +383,6 @@ def _sharded_batched(kind, A_panels, BT_panels, b, x_true, tol, maxit, lam,
         x10 = f(*args)
         (x, err_new, res_new, niters, Q, H, beta, IMG, S, active_f) = x10
         if resume_from is not None:
-            rs = _slice_result(resume_from, sl)
             res_hist = jnp.concatenate([rs.res_hist, res_new])
             err_hist = jnp.concatenate([rs.err_hist, err_new])
         else:

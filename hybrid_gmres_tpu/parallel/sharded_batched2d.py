@@ -36,9 +36,9 @@ from hybrid_gmres_tpu.parallel.panels2d import (
     TiledPanels,
     _validate_2d,
     tile_matmat,
-    tile_rmatmat,
     tiled_local_mms,
 )
+from hybrid_gmres_tpu.parallel.sharded_batched import _mesh_batched_core
 
 __all__ = [
     "ba_gmres_sharded_batched_2d",
@@ -111,7 +111,6 @@ def _sharded_batched_2d(kind, A_tiles, BT_tiles, b, x_true, tol, maxit,
     def solver(A_loc, B_loc, b_loc, xt_loc, x0_loc):
         nloc = n // pc
         mloc = m // pr
-        R = b_loc.shape[1]
 
         def pnorm_cols_m(U_loc):
             return jnp.sqrt(jax.lax.psum(jnp.sum(U_loc * U_loc, axis=0),
@@ -124,155 +123,16 @@ def _sharded_batched_2d(kind, A_tiles, BT_tiles, b, x_true, tol, maxit,
         A_mm, _ = tiled_local_mms(A_loc, axes, dtype, interpret)
         B_mm = _make_B_mm_2d(B_loc, b_forward, axes, dtype, interpret)
 
-        b_norm = pnorm_cols_m(b_loc)                        # (R,)
-        xt_norm = pnorm_cols_n(xt_loc)
+        # 2-D mesh: m-space reduces over rows, n-space over cols; the
+        # Krylov basis lives in n-space (BA) or m-space (AB)
+        sp_axis_name = ac if kind == "ba" else ar
+        pnorm_sp = pnorm_cols_n if kind == "ba" else pnorm_cols_m
+        psum_coeff = lambda c: jax.lax.psum(c, sp_axis_name)
 
-        rhs_loc = b_loc - A_mm(x0_loc) if have_x0 else b_loc
-        if kind == "ba":
-            r0_loc = B_mm(rhs_loc)                          # (nloc, R)
-            pnorm_sp = pnorm_cols_n
-            sp_axis_name = ac
-            nsp_loc = nloc
-        else:
-            r0_loc = rhs_loc                                # (mloc, R)
-            pnorm_sp = pnorm_cols_m
-            sp_axis_name = ar
-            nsp_loc = mloc
-        beta = pnorm_sp(r0_loc)
-        beta_safe = jnp.where(beta > 0, beta, jnp.ones((), dtype))
-        Q0 = jnp.zeros((nsp_loc, maxit + 1, R), dtype).at[:, 0, :].set(
-            jnp.where(beta > 0, r0_loc / beta_safe, jnp.zeros_like(r0_loc)))
-        H0 = jnp.zeros((maxit + 1, maxit, R), dtype)
-        IMG0 = jnp.zeros((mloc, maxit, R), dtype)
-        S0 = jnp.zeros((nloc, maxit, R), dtype) if kind == "ab" else None
-        t = jnp.zeros((maxit + 1, R), dtype).at[0].set(beta)
-
-        def cgs2(Q, H, W, k, active):
-            c1 = jax.lax.psum(jnp.einsum("nkr,nr->kr", Q, W), sp_axis_name)
-            W = W - jnp.einsum("nkr,kr->nr", Q, c1)
-            c2 = jax.lax.psum(jnp.einsum("nkr,nr->kr", Q, W), sp_axis_name)
-            W = W - jnp.einsum("nkr,kr->nr", Q, c2)
-            h = c1 + c2
-            hnorm = pnorm_sp(W)
-            breakdown = hnorm <= jnp.zeros((), dtype)
-            hsafe = jnp.where(breakdown, jnp.ones((), dtype), hnorm)
-            h = h.at[k + 1].set(hnorm)
-            Hn = H.at[:, k, :].set(h)
-            Qn = Q.at[:, k + 1, :].set(
-                jnp.where(breakdown[None, :], jnp.zeros_like(W), W / hsafe))
-            Qn = jnp.where(active[None, None, :], Qn, Q)
-            Hn = jnp.where(active[None, None, :], Hn, H)
-            return Qn, Hn, breakdown
-
-        def expand(Q, H, IMG, S, k, active, mask_images=False):
-            gate = (jnp.where(active[None, :], jnp.ones((), dtype),
-                              jnp.zeros((), dtype))
-                    if mask_images else jnp.ones((), dtype))
-            if kind == "ba":
-                U = A_mm(Q[:, k, :])                        # (mloc, R)
-                W = B_mm(U)                                 # (nloc, R)
-                IMG = IMG.at[:, k, :].set(U * gate)
-            else:
-                Sk = B_mm(Q[:, k, :])                       # (nloc, R)
-                W = A_mm(Sk)                                # (mloc, R)
-                IMG = IMG.at[:, k, :].set(W * gate)
-                S = S.at[:, k, :].set(Sk * gate)
-            Qn, Hn, breakdown = cgs2(Q, H, W, k, active)
-            return Qn, Hn, IMG, S, breakdown
-
-        if defer_histories:
-            def body(carry, k):
-                Q, H, IMG, S, active = carry
-                Qn, Hn, IMG, S, breakdown = expand(Q, H, IMG, S, k, active,
-                                                   mask_images=True)
-                ok = active
-                bkd_rec = active & breakdown
-                active = active & ~breakdown
-                return (Qn, Hn, IMG, S, active), (ok, bkd_rec)
-
-            (Q, H, IMG, S, _), (oks, bkds) = jax.lax.scan(
-                body, (Q0, H0, IMG0, S0, beta > 0),
-                jnp.arange(maxit, dtype=jnp.int32))
-            nsteps = jnp.sum(oks.astype(jnp.int32), axis=0)
-            broke = jnp.any(bkds, axis=0)
-
-            ks = jnp.arange(1, maxit + 1, dtype=jnp.int32)
-            if select_lam is not None:
-                from hybrid_gmres_tpu.krylov.projected import (
-                    projected_tikhonov_solve)
-
-                lam_r = select_lam(H, t, nsteps)
-                solve_rl = jax.vmap(
-                    lambda Hr, tr, l, kd: projected_tikhonov_solve(
-                        Hr, tr, l, kd),
-                    in_axes=(2, 1, 0, None), out_axes=1)
-                Y = jax.vmap(lambda kd: solve_rl(H, t, lam_r, kd))(ks)
-            else:
-                Y = jax.vmap(lambda kd: solve_r(H, t, kd))(ks)
-
-            hi = jax.lax.Precision.HIGHEST
-            RES_loc = rhs_loc[:, None, :] - jnp.einsum(
-                "mkr,jkr->mjr", IMG, Y, precision=hi)
-            res_full = jnp.sqrt(jax.lax.psum(
-                jnp.sum(RES_loc * RES_loc, axis=0), ar)) / b_norm
-            basis = S if kind == "ab" else Q[:, :maxit, :]
-            X_loc = jnp.einsum("nkr,jkr->njr", basis, Y, precision=hi)
-            if have_x0:
-                X_loc = X_loc + x0_loc[:, None, :]
-            D_loc = X_loc - xt_loc[:, None, :]
-            err_full = jnp.sqrt(jax.lax.psum(
-                jnp.sum(D_loc * D_loc, axis=0), ac)) / xt_norm
-
-            valid = ks[:, None] <= nsteps[None, :]
-            hit = valid & (res_full <= tol)
-            any_hit = jnp.any(hit, axis=0)
-            first_hit = jnp.argmax(hit, axis=0) + 1
-            niters = jnp.where(any_hit, first_hit.astype(jnp.int32),
-                               nsteps)
-            rec = ks[:, None] <= niters[None, :]
-            nan = jnp.asarray(jnp.nan, dtype)
-            res_hist = jnp.where(rec, res_full, nan)
-            err_hist = jnp.where(rec, err_full, nan)
-            slot = jnp.maximum(niters - 1, 0)
-            x = jax.vmap(
-                lambda Xr, sl, ok_, xf: jnp.where(ok_, Xr[:, sl], xf),
-                in_axes=(2, 0, 0, 1), out_axes=1)(
-                    X_loc, slot, niters > 0, x0_loc)
-            active_f = (nsteps == maxit) & ~any_hit & ~broke
-            return (x, err_hist, res_hist, niters, Q, H, beta, IMG, S,
-                    active_f)
-
-        def body(carry, k):
-            Q, H, x, active, niters, IMG, S = carry
-            Qn, Hn, IMG, S, breakdown = expand(Q, H, IMG, S, k, active)
-            kdim = k + 1
-            y = solve_r(Hn, t, kdim)
-            if kind == "ab":
-                xk = jnp.einsum("nkr,kr->nr", S, y)
-            else:
-                xk = jnp.einsum("nkr,kr->nr", Qn[:, :maxit, :], y)
-            if have_x0:
-                xk = x0_loc + xk
-            r_loc = rhs_loc - jnp.einsum("mkr,kr->mr", IMG, y)
-            res = pnorm_cols_m(r_loc) / b_norm
-            err = pnorm_cols_n(xk - xt_loc) / xt_norm
-
-            adopt = active
-            x = jnp.where(adopt[None, :], xk, x)
-            nan = jnp.asarray(jnp.nan, dtype)
-            res_rec = jnp.where(adopt, res, nan)
-            err_rec = jnp.where(adopt, err, nan)
-            niters = jnp.where(adopt, kdim, niters)
-            stop = breakdown | (res <= tol)
-            active = active & ~stop
-            return (Qn, Hn, x, active, niters, IMG, S), (res_rec, err_rec)
-
-        carry0 = (Q0, H0, x0_loc, beta > 0, jnp.zeros((R,), jnp.int32),
-                  IMG0, S0)
-        (Q, H, x, active_f, niters, IMG, S), (res_rows, err_rows) = \
-            jax.lax.scan(body, carry0, jnp.arange(maxit, dtype=jnp.int32))
-        return (x, err_rows, res_rows, niters, Q, H, beta, IMG, S,
-                active_f)
+        return _mesh_batched_core(
+            kind, maxit, tol, dtype, nloc, mloc, A_mm, B_mm, psum_coeff,
+            pnorm_cols_m, pnorm_sp, pnorm_cols_n, b_loc, xt_loc, x0_loc,
+            have_x0, solve_r, select_lam, defer_histories)
 
     sp_tiles = P((ar, ac))
     sp_m = P(ar, None)

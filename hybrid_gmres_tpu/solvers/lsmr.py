@@ -417,7 +417,11 @@ def hybrid_lsmr(
             raise ValueError(f"resume needs maxit > {k0}")
         from hybrid_gmres_tpu.utils.checkpoint import check_fingerprint
 
-        check_fingerprint(resume_from, xoff, lam)
+        # the tag makes an x0_reg-mismatched resume raise (the two
+        # semantics produce different histories for the same x0/lam)
+        check_fingerprint(resume_from, xoff, lam,
+                          tag=x0_reg if (have_x0 and x0_reg == "full")
+                          else "")
         (d0, u, v, Vp, Bp, alpha, active, niters, Up, ab1) = \
             resume_from.carry
         extra = maxit - Vp.shape[1]
@@ -471,6 +475,9 @@ def hybrid_lsmr(
     from hybrid_gmres_tpu.utils.checkpoint import resume_fingerprint
 
     state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist,
-                     fp=resume_fingerprint(xoff, lam))
+                     fp=resume_fingerprint(
+                         xoff, lam,
+                         tag=x0_reg if (have_x0 and x0_reg == "full")
+                         else ""))
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
                      niters=niters, state=state)

@@ -79,7 +79,7 @@ def load_state(path: str) -> GMRESResult:
     return out
 
 
-def resume_fingerprint(x0, lam):
+def resume_fingerprint(x0, lam, tag: str = ""):
     """Compact (2,) fingerprint of a solve's ``(x0, lam)`` pair.
 
     ``niters``-invariant by construction: entry 0 is a fixed-weight
@@ -90,7 +90,12 @@ def resume_fingerprint(x0, lam):
     wrong numbers (the Krylov factorization is x0/lam-specific) — raises
     instead (:func:`check_fingerprint`).  Traceable (a traced ``x0`` or
     ``lam`` yields a traced fingerprint; the check then degrades to a
-    no-op, documented there)."""
+    no-op, documented there).
+
+    ``tag``: extra mode string folded into the lam slot for solvers whose
+    math depends on a non-numeric flag (e.g. ``hybrid_lsmr``'s
+    ``x0_reg="full"`` — a resume under the other semantics must raise,
+    not silently mix regularizers)."""
     codes = {"gcv": -2.0, "gcv-final": -3.0}
     if isinstance(lam, str):
         lam_val = jnp.float32(codes.get(lam, -9.0))
@@ -98,6 +103,12 @@ def resume_fingerprint(x0, lam):
         lam_val = jnp.float32(-1.0)
     else:
         lam_val = jnp.asarray(lam, jnp.float32).reshape(())
+    if tag:
+        # deterministic small irrational-ish offset per tag; lam values in
+        # practice are >= -9, so tag offsets (multiples of ~1e4) cannot
+        # collide with a real lam
+        lam_val = lam_val + jnp.float32(
+            sum((i + 1) * ord(c) for i, c in enumerate(tag)) * 128.0)
     if x0 is None:
         xs = jnp.float32(0.0)
     else:
@@ -107,7 +118,7 @@ def resume_fingerprint(x0, lam):
     return jnp.stack([xs, lam_val])
 
 
-def check_fingerprint(resume_from, x0, lam) -> None:
+def check_fingerprint(resume_from, x0, lam, tag: str = "") -> None:
     """Verify a resume's ``(x0, lam)`` against the checkpointed
     fingerprint.  No-ops when the checkpoint predates fingerprints
     (``fp is None``) or when either side is a tracer (a fully-jitted
@@ -118,7 +129,7 @@ def check_fingerprint(resume_from, x0, lam) -> None:
         return
     import jax
 
-    expected = resume_fingerprint(x0, lam)
+    expected = resume_fingerprint(x0, lam, tag=tag)
     if isinstance(stored, jax.core.Tracer) or \
             isinstance(expected, jax.core.Tracer):
         return

@@ -384,3 +384,36 @@ def test_hybrid_lsmr_warm_start_equivalence_and_semantics():
                     resume_from=part.state)
     with pytest.raises(ValueError, match="x0_reg"):
         hybrid_lsmr(A, b, x_true, maxit=4, lam=1e-3, x0=x0, x0_reg="bogus")
+
+
+def test_hybrid_lsmr_resume_rejects_x0_reg_mismatch():
+    """A checkpoint created under x0_reg='full' cannot be resumed under
+    'correction' (and vice versa) — the fingerprint folds the mode in, so
+    a mixed-semantics continuation raises instead of silently blending
+    regularizers."""
+    import jax.numpy as jnp
+
+    from hybrid_gmres_tpu import generate_test_problem
+    from hybrid_gmres_tpu.problems import add_noise
+    from hybrid_gmres_tpu.solvers.lsmr import hybrid_lsmr
+
+    A, b_exact, x_true = generate_test_problem("deriv2", 16)
+    b, _ = add_noise(b_exact, 1e-2, seed=0)
+    x0 = jnp.asarray(np.asarray(x_true)) * 1.1
+    part_full = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=4, lam=1e-3,
+                            x0=x0, x0_reg="full")
+    with pytest.raises(ValueError, match="fingerprint"):
+        hybrid_lsmr(A, b, x_true, maxit=8, lam=1e-3, x0=x0,
+                    x0_reg="correction", resume_from=part_full.state)
+    part_corr = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=4, lam=1e-3,
+                            x0=x0)
+    with pytest.raises(ValueError, match="fingerprint"):
+        hybrid_lsmr(A, b, x_true, maxit=8, lam=1e-3, x0=x0,
+                    x0_reg="full", resume_from=part_corr.state)
+    # same-mode resume still exact
+    full = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=8, lam=1e-3, x0=x0,
+                       x0_reg="full")
+    resumed = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=8, lam=1e-3, x0=x0,
+                          x0_reg="full", resume_from=part_full.state)
+    np.testing.assert_array_equal(np.asarray(resumed.err_hist),
+                                  np.asarray(full.err_hist))
