@@ -410,10 +410,12 @@ def test_hybrid_lsmr_resume_rejects_x0_reg_mismatch():
     with pytest.raises(ValueError, match="fingerprint"):
         hybrid_lsmr(A, b, x_true, maxit=8, lam=1e-3, x0=x0,
                     x0_reg="full", resume_from=part_corr.state)
-    # same-mode resume still exact
+    # same-mode resume still matches (near-exact: the patch re-solve's
+    # extra V^T x0 term reassociates under the different V padding widths
+    # at ~1 ulp; the correction-mode resume without that term is bitwise)
     full = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=8, lam=1e-3, x0=x0,
                        x0_reg="full")
     resumed = hybrid_lsmr(A, b, x_true, tol=0.0, maxit=8, lam=1e-3, x0=x0,
                           x0_reg="full", resume_from=part_full.state)
-    np.testing.assert_array_equal(np.asarray(resumed.err_hist),
-                                  np.asarray(full.err_hist))
+    np.testing.assert_allclose(np.asarray(resumed.err_hist),
+                               np.asarray(full.err_hist), rtol=1e-10)
