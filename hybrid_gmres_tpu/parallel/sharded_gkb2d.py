@@ -18,6 +18,13 @@ compression survives the 2-D layout (see DESIGN §7):
 The exact adjoint pair both half-steps require is served by the SAME tiles
 through the forward and transposed kernels (quantized tiles share one
 global ``diag(s) Q``).
+
+Mode parity with the 1-D tier: every solver takes ``x0`` (correction-space
+warm start; EXACT Tikhonov restart on the hybrid LSQR), ``reorth`` (full
+CGS2 purification against the tile-sharded stored bases — u-space psums
+over the row axis, v-space over the col axis), and — except the hybrid
+LSMR, matching 1-D — ``resume_from`` with the carry kept tile-sharded and
+fingerprint-guarded (``resume(run(k), K) == run(K)`` exactly).
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from hybrid_gmres_tpu.parallel.panels2d import TiledPanels, tiled_local_ops
+from hybrid_gmres_tpu.parallel.sharded_gkb import _grow_bases
 from hybrid_gmres_tpu.solvers.common import GKBResult
 
 __all__ = [
@@ -79,10 +87,42 @@ def _collectives2d(axes, dtype):
             _normalize(pdot_m), _normalize(pdot_n))
 
 
+def _make_purify2d(axis):
+    """Distributed CGS2 purification against a stored basis sharded over
+    ``axis`` (u-space bases psum over the row axis, v-space over the col
+    axis — the 2-D twin of ``sharded_gkb._make_purify``)."""
+    def purify(Basis_loc, vec_loc):
+        vec_loc = vec_loc - Basis_loc @ jax.lax.psum(
+            Basis_loc.T @ vec_loc, axis)
+        return vec_loc - Basis_loc @ jax.lax.psum(
+            Basis_loc.T @ vec_loc, axis)
+    return purify
+
+
 def _specs2d(axes):
     ar, ac = axes
     # A tiles (leading pd axis), b row-sharded, x_true col-sharded
     return (P((ar, ac)), P(ar), P(ac))
+
+
+def _resume_prep(resume_from, maxit, x0, lam, tag=""):
+    from hybrid_gmres_tpu.utils.checkpoint import check_fingerprint
+
+    k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
+    if resume_from is not None:
+        if k0 >= maxit:
+            raise ValueError(f"resume needs maxit > {k0}")
+        check_fingerprint(resume_from, x0, lam, tag=tag)
+    return k0
+
+
+def _check_resume_carry(rc, carry_specs, reorth):
+    if len(rc) != len(carry_specs):
+        raise ValueError(
+            "resume_from state does not match reorth=; pass the same "
+            "reorth as the original run"
+            if reorth else
+            "resume_from state carries reorth bases; pass reorth=True")
 
 
 def lsqr_sharded_2d(
@@ -94,33 +134,76 @@ def lsqr_sharded_2d(
     mesh: Mesh | None = None,
     axes=("rows", "cols"),
     interpret: bool = False,
+    x0=None,
+    resume_from=None,
+    reorth: bool = False,
 ) -> GKBResult:
     """2-D tiled LSQR (``lsqr_solver.m:20-47`` semantics: cheap residual
-    estimate per iteration, final entry patched with the true residual)."""
+    estimate per iteration, final entry patched with the true residual).
+
+    ``x0``: optional n-length (replicated) warm start — the GKB runs on
+    ``b - A x0`` with the iterate carried in x-space (see the single-chip
+    ``lsqr``).  ``resume_from``: a prior 2-D result's ``.state`` — the
+    carry stays tile-sharded (x/v/w col-sharded, u row-sharded) and the
+    state's histories are UNPATCHED (the true-residual patch is re-applied
+    after resume).  ``reorth=True``: full CGS2 reorthogonalization against
+    the stored bases (U row-sharded, V col-sharded; each purify pass psums
+    over the basis's own mesh axis only)."""
+    from hybrid_gmres_tpu.solvers.common import GKBState
+    from hybrid_gmres_tpu.utils.checkpoint import resume_fingerprint
+
     ar, ac = axes
     pr, pc, m, n, maxit = _prep2d(A, b, maxit, mesh, axes)
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    k0 = _resume_prep(resume_from, maxit, x0, None)
+    fp = resume_fingerprint(x0, None)
+    have_x0 = x0 is not None
+    if not have_x0:
+        x0 = jnp.zeros((n,), dtype=dtype)
 
-    def solver(A_loc, b_loc, xt_loc):
+    def solver(A_loc, b_loc, xt_loc, x0_loc, *carry_in):
         matvec, rmatvec, _ = tiled_local_ops(A_loc, axes, dtype, interpret)
         (pdot_m, pdot_n, pnorm_m, pnorm_n, pnormalize_m,
          pnormalize_n) = _collectives2d(axes, dtype)
+        purify_m = _make_purify2d(ar)
+        purify_n = _make_purify2d(ac)
         nloc = n // pc
+        mloc = m // pr
 
         b_norm = pnorm_m(b_loc)
         xt_norm = pnorm_n(xt_loc)
-        u, beta, _ = pnormalize_m(b_loc)
-        v, alpha, _ = pnormalize_n(rmatvec(u))
-        w = v
-        x0 = jnp.zeros((nloc,), dtype=dtype)
+        if carry_in:
+            carry0 = carry_in
+        else:
+            rhs_loc = b_loc - matvec(x0_loc) if have_x0 else b_loc
+            u, beta, _ = pnormalize_m(rhs_loc)
+            v, alpha, _ = pnormalize_n(rmatvec(u))
+            w = v
+            xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
+            carry0 = (xc0, u, v, w, beta, alpha, alpha, jnp.bool_(True),
+                      jnp.int32(0))
+            if reorth:
+                U0 = jnp.zeros((mloc, maxit + 1), dtype).at[:, 0].set(u)
+                V0 = jnp.zeros((nloc, maxit + 1), dtype).at[:, 0].set(v)
+                carry0 = carry0 + (U0, V0)
 
         def step(carry, k):
-            x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters = carry
-            u_n, beta_k, ok_u = pnormalize_m(matvec(v) - alpha_c * u)
-            v_n, alpha_n, ok_v = pnormalize_n(rmatvec(u_n) - beta_k * v)
+            if reorth:
+                (x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters,
+                 U, V) = carry
+            else:
+                x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters = carry
+            uhat = matvec(v) - alpha_c * u
+            if reorth:
+                uhat = purify_m(U, uhat)
+            u_n, beta_k, ok_u = pnormalize_m(uhat)
+            vhat = rmatvec(u_n) - beta_k * v
+            if reorth:
+                vhat = purify_n(V, vhat)
+            v_n, alpha_n, ok_v = pnormalize_n(vhat)
 
             rho = jnp.hypot(rho_bar, beta_k)
             c = rho_bar / rho
@@ -149,28 +232,53 @@ def lsqr_sharded_2d(
             err_rec = jnp.where(adopt, err_k, nan)
             niters = jnp.where(adopt, k + 1, niters)
             active = adopt & (res_k > tol)
-            return (x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters), \
-                (res_rec, err_rec)
+            out = (x, u, v, w, phi_bar, rho_bar, alpha_c, active, niters)
+            if reorth:
+                U = jax.lax.select(adopt, U.at[:, k + 1].set(u_n), U)
+                V = jax.lax.select(adopt, V.at[:, k + 1].set(v_n), V)
+                out = out + (U, V)
+            return out, (res_rec, err_rec)
 
-        carry0 = (x0, u, v, w, beta, alpha, alpha, jnp.bool_(True),
-                  jnp.int32(0))
-        (x, *_rest, niters), (res_hist, err_hist) = jax.lax.scan(
-            step, carry0, jnp.arange(maxit, dtype=jnp.int32))
-
+        carry_out, (res_hist, err_hist) = jax.lax.scan(
+            step, carry0, jnp.arange(k0, maxit, dtype=jnp.int32))
+        x, niters = carry_out[0], carry_out[8]
+        # True residual for the final-entry patch (lsqr_solver.m:52),
+        # applied OUTSIDE after history concatenation.
         true_res = pnorm_m(b_loc - matvec(x)) / b_norm
-        slot = jnp.maximum(niters - 1, 0)
-        res_hist = res_hist.at[slot].set(
-            jnp.where(niters > 0, true_res, res_hist[slot]))
-        return x, err_hist, res_hist, niters
+        return x, err_hist, res_hist, niters, true_res, carry_out
 
+    carry_specs = (P(ac), P(ar), P(ac), P(ac),  # x, u, v, w
+                   P(), P(), P(), P(), P())     # scalars/flags
+    if reorth:
+        carry_specs = carry_specs + (P(ar, None), P(ac, None))
+    in_specs = _specs2d(axes) + (P(ac),)
+    args = (A, b, x_true, x0)
+    if resume_from is not None:
+        rc = resume_from.carry
+        _check_resume_carry(rc, carry_specs, reorth)
+        if reorth:
+            rc = _grow_bases(rc, maxit, (9, 10))
+        in_specs = in_specs + carry_specs
+        args = args + tuple(rc)
     f = jax.shard_map(
-        solver, mesh=mesh, in_specs=_specs2d(axes),
-        out_specs=(P(axes[1]), P(), P(), P()), check_vma=False)
-    x, err_hist, res_hist, niters = f(A, b, x_true)
+        solver, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(ac), P(), P(), P(), P(), carry_specs),
+        check_vma=False)
+    x, err_new, res_new, niters, true_res, carry_out = f(*args)
+    if resume_from is None:
+        res_hist, err_hist = res_new, err_new
+    else:
+        res_hist = jnp.concatenate([resume_from.res_hist, res_new])
+        err_hist = jnp.concatenate([resume_from.err_hist, err_new])
+    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist,
+                     fp=fp)
+    slot = jnp.maximum(niters - 1, 0)
+    res_hist = res_hist.at[slot].set(
+        jnp.where(niters > 0, true_res, res_hist[slot]))
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
-                     niters=niters)
+                     niters=niters, state=state)
 
 
 def hybrid_lsqr_sharded_2d(
@@ -183,23 +291,43 @@ def hybrid_lsqr_sharded_2d(
     mesh: Mesh | None = None,
     axes=("rows", "cols"),
     interpret: bool = False,
+    x0=None,
+    resume_from=None,
+    reorth: bool = False,
 ) -> GKBResult:
     """2-D tiled LSQR on the augmented ``[A; sqrt(lam) I]``
     (``hybrid_lsqr_solver.m:5-6``): the sqrt(lam) I block is col-shard
     diagonal (no communication); the residual is tracked vs the unaugmented
-    system (``:43``)."""
+    system (``:43``).
+
+    ``x0``: EXACT Tikhonov warm start — augmented GKB on
+    ``[b - A x0; -sqrt(lam) x0]`` with ``x = x0 + d`` (the regularizer
+    still acts on the full ``x``), as in the single-chip ``hybrid_lsqr``.
+    ``resume_from``: same ``x0``/``lam``/``reorth``, carry tile-sharded.
+    ``reorth=True``: CGS2 on the augmented (Um, Un) pair (one psum per mesh
+    axis per pass) and the V basis."""
+    from hybrid_gmres_tpu.solvers.common import GKBState
+    from hybrid_gmres_tpu.utils.checkpoint import resume_fingerprint
+
     ar, ac = axes
     pr, pc, m, n, maxit = _prep2d(A, b, maxit, mesh, axes)
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    k0 = _resume_prep(resume_from, maxit, x0, lam)
+    fp = resume_fingerprint(x0, lam)
+    have_x0 = x0 is not None
+    if not have_x0:
+        x0 = jnp.zeros((n,), dtype=dtype)
 
-    def solver(A_loc, b_loc, xt_loc):
+    def solver(A_loc, b_loc, xt_loc, x0_loc, *carry_in):
         matvec, rmatvec, _ = tiled_local_ops(A_loc, axes, dtype, interpret)
         (pdot_m, pdot_n, pnorm_m, pnorm_n, _pm,
          pnormalize_n) = _collectives2d(axes, dtype)
+        purify_n = _make_purify2d(ac)
         nloc = n // pc
+        mloc = m // pr
         sql = jnp.sqrt(jnp.asarray(lam, dtype))
 
         def aug_pnorm(um, un):
@@ -213,19 +341,54 @@ def hybrid_lsqr_sharded_2d(
             return (jnp.where(ok, um / safe, z),
                     jnp.where(ok, un / safe, z), nrm, ok)
 
+        def purify_pair(Um, Un, vm, vn):
+            # CGS2 on the augmented pair: the block coefficients psum over
+            # their own mesh axis (rows for Um, cols for Un) and add
+            c1 = (jax.lax.psum(Um.T @ vm, ar) +
+                  jax.lax.psum(Un.T @ vn, ac))
+            vm, vn = vm - Um @ c1, vn - Un @ c1
+            c2 = (jax.lax.psum(Um.T @ vm, ar) +
+                  jax.lax.psum(Un.T @ vn, ac))
+            return vm - Um @ c2, vn - Un @ c2
+
         b_norm = pnorm_m(b_loc)
         xt_norm = pnorm_n(xt_loc)
-        um, un, beta, _ = aug_normalize(b_loc, jnp.zeros((nloc,), dtype))
-        v, alpha, _ = pnormalize_n(rmatvec(um) + sql * un)
-        w = v
-        x0 = jnp.zeros((nloc,), dtype=dtype)
+        if carry_in:
+            carry0 = carry_in
+        else:
+            if have_x0:
+                um0_loc = b_loc - matvec(x0_loc)
+                un0_loc = -sql * x0_loc
+            else:
+                um0_loc = b_loc
+                un0_loc = jnp.zeros((nloc,), dtype)
+            um, un, beta, _ = aug_normalize(um0_loc, un0_loc)
+            v, alpha, _ = pnormalize_n(rmatvec(um) + sql * un)
+            w = v
+            d0 = jnp.zeros((nloc,), dtype=dtype)
+            carry0 = (d0, um, un, v, w, beta, alpha, alpha, jnp.bool_(True),
+                      jnp.int32(0))
+            if reorth:
+                Um0 = jnp.zeros((mloc, maxit + 1), dtype).at[:, 0].set(um)
+                Un0 = jnp.zeros((nloc, maxit + 1), dtype).at[:, 0].set(un)
+                V0 = jnp.zeros((nloc, maxit + 1), dtype).at[:, 0].set(v)
+                carry0 = carry0 + (Um0, Un0, V0)
 
         def step(carry, k):
-            (x, um, un, v, w, phi_bar, rho_bar, alpha_c, active,
-             niters) = carry
-            u_nm, u_nn, beta_k, ok_u = aug_normalize(
-                matvec(v) - alpha_c * um, sql * v - alpha_c * un)
+            if reorth:
+                (x, um, un, v, w, phi_bar, rho_bar, alpha_c, active,
+                 niters, Um, Un, V) = carry
+            else:
+                (x, um, un, v, w, phi_bar, rho_bar, alpha_c, active,
+                 niters) = carry
+            uhat_m = matvec(v) - alpha_c * um
+            uhat_n = sql * v - alpha_c * un
+            if reorth:
+                uhat_m, uhat_n = purify_pair(Um, Un, uhat_m, uhat_n)
+            u_nm, u_nn, beta_k, ok_u = aug_normalize(uhat_m, uhat_n)
             vhat = rmatvec(u_nm) + sql * u_nn - beta_k * v
+            if reorth:
+                vhat = purify_n(V, vhat)
             v_n, alpha_n, ok_v = pnormalize_n(vhat)
 
             rho = jnp.hypot(rho_bar, beta_k)
@@ -239,8 +402,8 @@ def hybrid_lsqr_sharded_2d(
             x_n = x + (phi / rho) * w
             w_n = v_n - (theta / rho) * w
 
-            res_k = pnorm_m(b_loc - matvec(x_n)) / b_norm
-            err_k = pnorm_n(x_n - xt_loc) / xt_norm
+            res_k = pnorm_m(b_loc - matvec(x0_loc + x_n)) / b_norm
+            err_k = pnorm_n(x0_loc + x_n - xt_loc) / xt_norm
 
             adopt = active & ok_u & ok_v
             nan = jnp.asarray(jnp.nan, dtype)
@@ -256,23 +419,49 @@ def hybrid_lsqr_sharded_2d(
             err_rec = jnp.where(adopt, err_k, nan)
             niters = jnp.where(adopt, k + 1, niters)
             active = adopt & (res_k > tol)
-            return (x, um, un, v, w, phi_bar, rho_bar, alpha_c, active,
-                    niters), (res_rec, err_rec)
+            out = (x, um, un, v, w, phi_bar, rho_bar, alpha_c, active,
+                   niters)
+            if reorth:
+                Um = jax.lax.select(adopt, Um.at[:, k + 1].set(u_nm), Um)
+                Un = jax.lax.select(adopt, Un.at[:, k + 1].set(u_nn), Un)
+                V = jax.lax.select(adopt, V.at[:, k + 1].set(v_n), V)
+                out = out + (Um, Un, V)
+            return out, (res_rec, err_rec)
 
-        carry0 = (x0, um, un, v, w, beta, alpha, alpha, jnp.bool_(True),
-                  jnp.int32(0))
-        (x, *_rest, niters), (res_hist, err_hist) = jax.lax.scan(
-            step, carry0, jnp.arange(maxit, dtype=jnp.int32))
-        return x, err_hist, res_hist, niters
+        carry_out, (res_hist, err_hist) = jax.lax.scan(
+            step, carry0, jnp.arange(k0, maxit, dtype=jnp.int32))
+        x = x0_loc + carry_out[0]
+        niters = carry_out[9]
+        return x, err_hist, res_hist, niters, carry_out
 
+    carry_specs = (P(ac), P(ar), P(ac), P(ac), P(ac),
+                   P(), P(), P(), P(), P())
+    if reorth:
+        carry_specs = carry_specs + (P(ar, None), P(ac, None), P(ac, None))
+    in_specs = _specs2d(axes) + (P(ac),)
+    args = (A, b, x_true, x0)
+    if resume_from is not None:
+        rc = resume_from.carry
+        _check_resume_carry(rc, carry_specs, reorth)
+        if reorth:
+            rc = _grow_bases(rc, maxit, (10, 11, 12))
+        in_specs = in_specs + carry_specs
+        args = args + tuple(rc)
     f = jax.shard_map(
-        solver, mesh=mesh, in_specs=_specs2d(axes),
-        out_specs=(P(axes[1]), P(), P(), P()), check_vma=False)
-    x, err_hist, res_hist, niters = f(A, b, x_true)
+        solver, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(ac), P(), P(), P(), carry_specs), check_vma=False)
+    x, err_new, res_new, niters, carry_out = f(*args)
+    if resume_from is None:
+        res_hist, err_hist = res_new, err_new
+    else:
+        res_hist = jnp.concatenate([resume_from.res_hist, res_new])
+        err_hist = jnp.concatenate([resume_from.err_hist, err_new])
+    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist,
+                     fp=fp)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
-                     niters=niters)
+                     niters=niters, state=state)
 
 
 def lsmr_sharded_2d(
@@ -284,9 +473,18 @@ def lsmr_sharded_2d(
     mesh: Mesh | None = None,
     axes=("rows", "cols"),
     interpret: bool = False,
+    x0=None,
+    resume_from=None,
+    reorth: bool = False,
 ) -> GKBResult:
     """2-D tiled LSMR (``lsmr_solver.m:32-77``) with true residual and
-    ``||A^T r||`` histories (exact ``||A||_F`` from the tile masses)."""
+    ``||A^T r||`` histories (exact ``||A||_F`` from the tile masses).
+    ``x0``: warm start (GKB on ``b - A x0``, iterate carried in x-space).
+    ``resume_from``: tile-sharded carry, same ``x0``/``reorth``.
+    ``reorth=True``: CGS2 against the stored row-/col-sharded bases."""
+    from hybrid_gmres_tpu.solvers.common import GKBState
+    from hybrid_gmres_tpu.utils.checkpoint import resume_fingerprint
+
     ar, ac = axes
     pr, pc, m, n, maxit = _prep2d(A, b, maxit, mesh, axes)
     dtype = b.dtype
@@ -294,30 +492,43 @@ def lsmr_sharded_2d(
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    k0 = _resume_prep(resume_from, maxit, x0, None)
+    fp = resume_fingerprint(x0, None)
+    have_x0 = x0 is not None
+    if not have_x0:
+        x0 = jnp.zeros((n,), dtype=dtype)
 
-    def solver(A_loc, b_loc, xt_loc):
+    def solver(A_loc, b_loc, xt_loc, x0_loc, *carry_in):
         matvec, rmatvec, fro_sq_loc = tiled_local_ops(A_loc, axes, dtype,
                                                       interpret)
         (pdot_m, pdot_n, pnorm_m, pnorm_n, pnormalize_m,
          pnormalize_n) = _collectives2d(axes, dtype)
+        purify_m = _make_purify2d(ar)
+        purify_n = _make_purify2d(ac)
         nloc = n // pc
+        mloc = m // pr
         fro_norm = jnp.sqrt(jax.lax.psum(
             jax.lax.psum(fro_sq_loc, ar), ac))
 
         b_norm = pnorm_m(b_loc)
         xt_norm = pnorm_n(xt_loc)
-        u, beta1, _ = pnormalize_m(b_loc)
-        v, alpha1, _ = pnormalize_n(rmatvec(u))
-        x0 = jnp.zeros((nloc,), dtype=dtype)
-        h0 = v
-        hbar0 = jnp.zeros((nloc,), dtype=dtype)
 
         def step(carry, k):
-            (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar, cbar,
-             sbar, active, niters) = carry
+            if reorth:
+                (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar,
+                 cbar, sbar, active, niters, U, V) = carry
+            else:
+                (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar,
+                 cbar, sbar, active, niters) = carry
 
-            u_n, beta_k, ok_u = pnormalize_m(matvec(v) - alpha * u)
-            v_n, alpha_n, ok_v = pnormalize_n(rmatvec(u_n) - beta_k * v)
+            uhat = matvec(v) - alpha * u
+            if reorth:
+                uhat = purify_m(U, uhat)
+            u_n, beta_k, ok_u = pnormalize_m(uhat)
+            vhat = rmatvec(u_n) - beta_k * v
+            if reorth:
+                vhat = purify_n(V, vhat)
+            v_n, alpha_n, ok_v = pnormalize_n(vhat)
 
             alphahat = alphabar
             rhoold = rho
@@ -365,29 +576,68 @@ def lsmr_sharded_2d(
             ar_rec = jnp.where(adopt, ar_k, nan)
             niters = jnp.where(adopt, k + 1, niters)
             active = adopt & (res_k >= tol)
-            return (
-                (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar,
-                 cbar, sbar, active, niters),
-                (res_rec, err_rec, ar_rec),
+            out = (x, u, v, h, hbar, alpha, zetabar, alphabar, rho, rhobar,
+                   cbar, sbar, active, niters)
+            if reorth:
+                U = jax.lax.select(adopt, U.at[:, k + 1].set(u_n), U)
+                V = jax.lax.select(adopt, V.at[:, k + 1].set(v_n), V)
+                out = out + (U, V)
+            return out, (res_rec, err_rec, ar_rec)
+
+        if carry_in:
+            carry0 = carry_in
+        else:
+            rhs_loc = b_loc - matvec(x0_loc) if have_x0 else b_loc
+            u, beta1, _ = pnormalize_m(rhs_loc)
+            v, alpha1, _ = pnormalize_n(rmatvec(u))
+            xc0 = x0_loc + jnp.zeros((nloc,), dtype=dtype)
+            h0 = v
+            hbar0 = jnp.zeros((nloc,), dtype=dtype)
+            one = jnp.ones((), dtype)
+            carry0 = (
+                xc0, u, v, h0, hbar0, alpha1, alpha1 * beta1, alpha1, one,
+                one, one, jnp.zeros((), dtype), jnp.bool_(True),
+                jnp.int32(0),
             )
+            if reorth:
+                U0 = jnp.zeros((mloc, maxit + 1), dtype).at[:, 0].set(u)
+                V0 = jnp.zeros((nloc, maxit + 1), dtype).at[:, 0].set(v)
+                carry0 = carry0 + (U0, V0)
+        carry_out, (res_hist, err_hist, ar_hist) = jax.lax.scan(
+            step, carry0, jnp.arange(k0, maxit, dtype=jnp.int32))
+        x, niters = carry_out[0], carry_out[13]
+        return x, err_hist, res_hist, niters, ar_hist, carry_out
 
-        one = jnp.ones((), dtype)
-        carry0 = (
-            x0, u, v, h0, hbar0, alpha1, alpha1 * beta1, alpha1, one, one,
-            one, jnp.zeros((), dtype), jnp.bool_(True), jnp.int32(0),
-        )
-        (x, *_rest, niters), (res_hist, err_hist, ar_hist) = jax.lax.scan(
-            step, carry0, jnp.arange(maxit, dtype=jnp.int32))
-        return x, err_hist, res_hist, niters, ar_hist
-
+    carry_specs = (P(ac), P(ar), P(ac), P(ac), P(ac),
+                   P(), P(), P(), P(), P(), P(), P(), P(), P())
+    if reorth:
+        carry_specs = carry_specs + (P(ar, None), P(ac, None))
+    in_specs = _specs2d(axes) + (P(ac),)
+    args = (A, b, x_true, x0)
+    if resume_from is not None:
+        rc = resume_from.carry
+        _check_resume_carry(rc, carry_specs, reorth)
+        if reorth:
+            rc = _grow_bases(rc, maxit, (14, 15))
+        in_specs = in_specs + carry_specs
+        args = args + tuple(rc)
     f = jax.shard_map(
-        solver, mesh=mesh, in_specs=_specs2d(axes),
-        out_specs=(P(axes[1]), P(), P(), P(), P()), check_vma=False)
-    x, err_hist, res_hist, niters, ar_hist = f(A, b, x_true)
+        solver, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(ac), P(), P(), P(), P(), carry_specs),
+        check_vma=False)
+    x, err_new, res_new, niters, ar_new, carry_out = f(*args)
+    if resume_from is None:
+        res_hist, err_hist, ar_hist = res_new, err_new, ar_new
+    else:
+        res_hist = jnp.concatenate([resume_from.res_hist, res_new])
+        err_hist = jnp.concatenate([resume_from.err_hist, err_new])
+        ar_hist = jnp.concatenate([resume_from.ar_hist, ar_new])
+    state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist,
+                     ar_hist=ar_hist, fp=fp)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
-                     niters=niters, ar_hist=ar_hist)
+                     niters=niters, ar_hist=ar_hist, state=state)
 
 
 def hybrid_lsmr_sharded_2d(
@@ -402,62 +652,101 @@ def hybrid_lsmr_sharded_2d(
     axes=("rows", "cols"),
     interpret: bool = False,
     gcv_grid=None,
+    x0=None,
+    x0_reg: str = "correction",
+    reorth: bool = False,
 ) -> GKBResult:
     """2-D tiled hybrid LSMR: right basis V sharded over the col axis,
     bidiagonal B_k replicated, shifted projected solve
     (``hybrid_lsmr_solver.m:37-45``) replicated; ``lam`` scalar or "gcv"
-    (HyBR-style per-iteration selection, zero extra collectives)."""
+    (HyBR-style per-iteration selection, zero extra collectives).
+
+    ``x0``/``x0_reg``: warm start with the same two regularizer semantics
+    as the single-chip ``hybrid_lsmr`` ("correction": ``lam ||y||^2``;
+    "full": ``lam ||x0 + V y||^2`` — one extra col-axis psum per
+    iteration for the replicated ``V^T x0``).  ``reorth=True``: full CGS2
+    of both tile-sharded GKB bases — holds the hybrid equivalence oracles
+    (``run_equivalence_plots.m:48-58``) to full depth on this layout."""
     if rank1_mode not in ("last", "first"):
         raise ValueError("rank1_mode must be 'last' or 'first'")
+    if x0_reg not in ("correction", "full"):
+        raise ValueError("x0_reg must be 'correction' or 'full'")
     ar, ac = axes
     pr, pc, m, n, maxit = _prep2d(A, b, maxit, mesh, axes)
     dtype = b.dtype
     have_xt = x_true is not None
     if not have_xt:
         x_true = jnp.zeros((n,), dtype=dtype)
+    have_x0 = x0 is not None
+    if not have_x0:
+        x0 = jnp.zeros((n,), dtype=dtype)
     from hybrid_gmres_tpu.solvers.lsmr import (
         _hybrid_lsmr_projected, make_hybrid_lsmr_lam_fn)
 
     lam_fn = make_hybrid_lsmr_lam_fn(lam, gcv_grid, n, maxit, dtype)
 
-    def solver(A_loc, b_loc, xt_loc):
+    def solver(A_loc, b_loc, xt_loc, x0_loc):
         matvec, rmatvec, _ = tiled_local_ops(A_loc, axes, dtype, interpret)
         (pdot_m, pdot_n, pnorm_m, pnorm_n, pnormalize_m,
          pnormalize_n) = _collectives2d(axes, dtype)
+        purify_m = _make_purify2d(ar)
+        purify_n = _make_purify2d(ac)
         nloc = n // pc
+        mloc = m // pr
 
         b_norm = pnorm_m(b_loc)
         xt_norm = pnorm_n(xt_loc)
-        u, beta1, _ = pnormalize_m(b_loc)
+        rhs_loc = b_loc - matvec(x0_loc) if have_x0 else b_loc
+        u, beta1, _ = pnormalize_m(rhs_loc)
         v, alpha1, _ = pnormalize_n(rmatvec(u))
+
+        def roff(V_k, lam_k):
+            # "full": replicated V^T x0 needs ONE col-axis psum
+            if have_x0 and x0_reg == "full":
+                return -lam_k * jax.lax.psum(V_k.T @ x0_loc, ac)
+            return None
+
         V0 = jnp.zeros((nloc, maxit), dtype=dtype).at[:, 0].set(v)
         Bmat0 = jnp.zeros((maxit + 1, maxit), dtype=dtype)
-        x0 = jnp.zeros((nloc,), dtype=dtype)
+        d0 = jnp.zeros((nloc,), dtype=dtype)
+        U0 = (jnp.zeros((mloc, maxit + 1), dtype).at[:, 0].set(u)
+              if reorth else jnp.zeros((0, 0), dtype))
 
         def step(carry, k):
-            x, u, v, V, Bmat, alpha, active, niters = carry
+            x, u, v, V, Bmat, alpha, active, niters, U = carry
             kdim = k + 1
 
             Bmat_n = Bmat.at[k, k].set(alpha)
-            u_n, beta_k, ok_u = pnormalize_m(matvec(v) - alpha * u)
+            uhat = matvec(v) - alpha * u
+            if reorth:
+                uhat = purify_m(U, uhat)
+            u_n, beta_k, ok_u = pnormalize_m(uhat)
             Bmat_n = Bmat_n.at[k + 1, k].set(beta_k)
 
-            v2, alpha2, ok2 = pnormalize_n(rmatvec(u_n) - beta_k * v)
+            # Always run the advance (collectives must execute on every
+            # shard every iteration); the final iteration keeps the stale
+            # alpha/v via selects (hybrid_lsmr_solver.m:26-33 semantics).
+            vhat = rmatvec(u_n) - beta_k * v
+            if reorth:
+                vhat = purify_n(V, vhat)
+            v2, alpha2, ok2 = pnormalize_n(vhat)
             adv = k < maxit - 1
             v_n = jax.lax.select(adv, v2, v)
             alpha_n = jnp.where(adv, alpha2, alpha)
             ok_v = jnp.where(adv, ok2, jnp.bool_(True))
             V_n = jax.lax.select(
                 adv, V.at[:, jnp.minimum(k + 1, maxit - 1)].set(v2), V)
+            U_n = U.at[:, k + 1].set(u_n) if reorth else U
 
+            lam_k = lam_fn(Bmat_n, kdim, b_norm)
             y = _hybrid_lsmr_projected(
                 Bmat_n, alpha_n, beta_k, alpha1 * beta1,
-                lam_fn(Bmat_n, kdim, b_norm), kdim, maxit, rank1_mode,
-                dtype)
+                lam_k, kdim, maxit, rank1_mode,
+                dtype, rhs_offset=roff(V_n, lam_k))
             x_n = V_n @ y
 
-            res_k = pnorm_m(b_loc - matvec(x_n)) / b_norm
-            err_k = pnorm_n(x_n - xt_loc) / xt_norm
+            res_k = pnorm_m(rhs_loc - matvec(x_n)) / b_norm
+            err_k = pnorm_n(x0_loc + x_n - xt_loc) / xt_norm
 
             adopt = active & ok_u & ok_v
             nan = jnp.asarray(jnp.nan, dtype)
@@ -466,23 +755,27 @@ def hybrid_lsmr_sharded_2d(
             v = jax.lax.select(adopt, v_n, v)
             V = jax.lax.select(adopt, V_n, V)
             Bmat = jax.lax.select(adopt, Bmat_n, Bmat)
+            if reorth:
+                U = jax.lax.select(adopt, U_n, U)
             alpha = jnp.where(adopt, alpha_n, alpha)
             res_rec = jnp.where(adopt, res_k, nan)
             err_rec = jnp.where(adopt, err_k, nan)
             niters = jnp.where(adopt, kdim, niters)
             active = adopt & (res_k > tol)
-            return (x, u, v, V, Bmat, alpha, active, niters), \
+            return (x, u, v, V, Bmat, alpha, active, niters, U), \
                 (res_rec, err_rec)
 
-        carry0 = (x0, u, v, V0, Bmat0, alpha1, jnp.bool_(True), jnp.int32(0))
-        (x, *_rest, niters), (res_hist, err_hist) = jax.lax.scan(
+        carry0 = (d0, u, v, V0, Bmat0, alpha1, jnp.bool_(True),
+                  jnp.int32(0), U0)
+        (d, *_rest), (res_hist, err_hist) = jax.lax.scan(
             step, carry0, jnp.arange(maxit, dtype=jnp.int32))
-        return x, err_hist, res_hist, niters
+        niters = _rest[6]
+        return x0_loc + d, err_hist, res_hist, niters
 
     f = jax.shard_map(
-        solver, mesh=mesh, in_specs=_specs2d(axes),
-        out_specs=(P(axes[1]), P(), P(), P()), check_vma=False)
-    x, err_hist, res_hist, niters = f(A, b, x_true)
+        solver, mesh=mesh, in_specs=_specs2d(axes) + (P(ac),),
+        out_specs=(P(ac), P(), P(), P()), check_vma=False)
+    x, err_hist, res_hist, niters = f(A, b, x_true, x0)
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,

@@ -2181,3 +2181,122 @@ def test_sharded_batched_2d_matches_single_device(kind):
                  B_tiles=B_t)
         np.testing.assert_allclose(np.asarray(r_f.res_hist),
                                    np.asarray(r_sh.res_hist), atol=2e-5)
+
+
+def test_gkb_2d_reorth_matches_single_chip():
+    """reorth=True on the 2-D tiled GKB family == the single-chip reorth
+    runs (CGS2 purification with u-space psums over the row axis, v-space
+    over the col axis)."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        hybrid_lsmr_sharded_2d, lsmr_sharded_2d, lsqr_sharded_2d,
+        make_mesh_2d, tile_bucketed_panels)
+    from hybrid_gmres_tpu.solvers.lsmr import hybrid_lsmr, lsmr
+    from hybrid_gmres_tpu.solvers.lsqr import lsqr
+
+    Ad, _, b, x_true = _sparse_pair(64, 32, seed=41)
+    mesh = make_mesh_2d((2, 4))
+    tiles = tile_bucketed_panels(sp.csr_matrix(Ad), 2, 4)
+    Aj = jnp.asarray(Ad)
+    kw2 = dict(mesh=mesh, interpret=True, reorth=True)
+    for sh, ref, kw in ((lsqr_sharded_2d, lsqr, {}),
+                        (lsmr_sharded_2d, lsmr, {}),
+                        (hybrid_lsmr_sharded_2d, hybrid_lsmr,
+                         {"lam": 1e-2})):
+        r_sh = sh(tiles, jnp.asarray(b), jnp.asarray(x_true), tol=0.0,
+                  maxit=10, **kw2, **kw)
+        r_ref = ref(Aj, jnp.asarray(b), jnp.asarray(x_true), tol=0.0,
+                    maxit=10, reorth=True, **kw)
+        np.testing.assert_allclose(np.asarray(r_sh.res_hist),
+                                   np.asarray(r_ref.res_hist, np.float32),
+                                   rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r_sh.err_hist),
+                                   np.asarray(r_ref.err_hist, np.float32),
+                                   rtol=2e-3, atol=1e-5)
+
+
+def test_gkb_2d_x0_matches_single_chip():
+    """2-D tiled warm starts == the single-chip warm starts: LSQR/LSMR
+    correction-space, hybrid LSQR exact Tikhonov restart, hybrid LSMR
+    under both regularizer semantics."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        hybrid_lsmr_sharded_2d, hybrid_lsqr_sharded_2d, lsmr_sharded_2d,
+        lsqr_sharded_2d, make_mesh_2d, tile_bucketed_panels)
+    from hybrid_gmres_tpu.solvers.lsmr import hybrid_lsmr, lsmr
+    from hybrid_gmres_tpu.solvers.lsqr import hybrid_lsqr, lsqr
+
+    Ad, _, b, x_true = _sparse_pair(64, 32, seed=41)
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray((x_true + 0.2 * rng.standard_normal(x_true.shape)
+                      ).astype(np.float32))
+    mesh = make_mesh_2d((2, 4))
+    tiles = tile_bucketed_panels(sp.csr_matrix(Ad), 2, 4)
+    Aj = jnp.asarray(Ad)
+    kw2 = dict(mesh=mesh, interpret=True, x0=x0)
+    cases = [(lsqr_sharded_2d, lsqr, {}),
+             (lsmr_sharded_2d, lsmr, {}),
+             (hybrid_lsqr_sharded_2d, hybrid_lsqr, {"lam": 1e-2}),
+             (hybrid_lsmr_sharded_2d, hybrid_lsmr, {"lam": 1e-2}),
+             (hybrid_lsmr_sharded_2d, hybrid_lsmr,
+              {"lam": 1e-2, "x0_reg": "full"})]
+    for sh, ref, kw in cases:
+        r_sh = sh(tiles, jnp.asarray(b), jnp.asarray(x_true), tol=0.0,
+                  maxit=8, **kw2, **kw)
+        r_ref = ref(Aj, jnp.asarray(b), jnp.asarray(x_true), tol=0.0,
+                    maxit=8, x0=x0, **kw)
+        np.testing.assert_allclose(np.asarray(r_sh.res_hist),
+                                   np.asarray(r_ref.res_hist, np.float32),
+                                   rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(r_sh.err_hist),
+                                   np.asarray(r_ref.err_hist, np.float32),
+                                   rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(r_sh.x),
+                                   np.asarray(r_ref.x, np.float32),
+                                   rtol=1e-2, atol=1e-4)
+
+
+def test_gkb_2d_resume_equals_uninterrupted():
+    """2-D tiled GKB resume(run(k), K) == run(K) exactly (carry stays
+    tile-sharded; LSQR's true-residual patch re-applied after concat;
+    LSMR's ar_hist continued), incl. with reorth bases grown to the new
+    budget; mismatched reorth= and a changed x0 on resume raise."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        hybrid_lsqr_sharded_2d, lsmr_sharded_2d, lsqr_sharded_2d,
+        make_mesh_2d, tile_bucketed_panels)
+
+    Ad, _, b, x_true = _sparse_pair(64, 32, seed=41)
+    rng = np.random.default_rng(9)
+    x0 = jnp.asarray((x_true + 0.2 * rng.standard_normal(x_true.shape)
+                      ).astype(np.float32))
+    mesh = make_mesh_2d((2, 4))
+    tiles = tile_bucketed_panels(sp.csr_matrix(Ad), 2, 4)
+    bj, xtj = jnp.asarray(b), jnp.asarray(x_true)
+
+    for solver, kw in ((lsqr_sharded_2d, {}),
+                       (lsmr_sharded_2d, {}),
+                       (hybrid_lsqr_sharded_2d, {"lam": 1e-2})):
+        for reorth in (False, True):
+            kws = dict(mesh=mesh, interpret=True, x0=x0, reorth=reorth,
+                       tol=0.0, **kw)
+            full = solver(tiles, bj, xtj, maxit=8, **kws)
+            part = solver(tiles, bj, xtj, maxit=4, **kws)
+            resumed = solver(tiles, bj, xtj, maxit=8,
+                             resume_from=part.state, **kws)
+            np.testing.assert_array_equal(np.asarray(resumed.res_hist),
+                                          np.asarray(full.res_hist))
+            np.testing.assert_array_equal(np.asarray(resumed.x),
+                                          np.asarray(full.x))
+            if full.ar_hist is not None:
+                np.testing.assert_array_equal(np.asarray(resumed.ar_hist),
+                                              np.asarray(full.ar_hist))
+        # `part` holds the reorth=True state: resuming WITHOUT reorth must
+        # be rejected (the carries disagree), not silently mis-specced
+        with pytest.raises(ValueError, match="reorth"):
+            solver(tiles, bj, xtj, maxit=8, mesh=mesh, interpret=True,
+                   x0=x0, reorth=False, resume_from=part.state, **kw)
+        # a resume with a DIFFERENT x0 is fingerprint-rejected
+        with pytest.raises(ValueError, match="fingerprint"):
+            solver(tiles, bj, xtj, maxit=8, mesh=mesh, interpret=True,
+                   x0=2.0 * x0, reorth=True, resume_from=part.state, **kw)
