@@ -15,8 +15,9 @@ Per-RHS semantics match ``solvers.batched.ba/ab_gmres_batched``
 (independent Arnoldi recurrences / projected solves / histories / active
 flags / warm starts — NOT block GMRES); the scaled form of the
 reference's per-sinogram loop (``run_2D_phantom.m:48-51``) on the 2-D
-layout.  No resume yet (use the 1-D sharded batched tier or warm-start a
-fresh solve from ``.x``).
+layout.  ``resume_from`` continues every RHS's Arnoldi recurrence exactly
+with the carried per-RHS active flags (in-scan mode, fingerprint-guarded),
+the state kept tile-sharded — as on the 1-D sharded batched tier.
 """
 
 from __future__ import annotations
@@ -31,6 +32,8 @@ from hybrid_gmres_tpu.solvers.batched import (
     _chunk_slices,
     _concat_results,
     _make_select_lam,
+    _pad_batched,
+    _slice_result,
 )
 from hybrid_gmres_tpu.parallel.panels2d import (
     TiledPanels,
@@ -65,7 +68,7 @@ def _make_B_mm_2d(B_or_BT_loc, b_forward, axes, dtype, interpret):
 
 def _sharded_batched_2d(kind, A_tiles, BT_tiles, b, x_true, tol, maxit,
                         lam, gcv_grid, mesh, axes, interpret, x0, B_tiles,
-                        chunk_rhs, defer_histories):
+                        chunk_rhs, defer_histories, resume_from=None):
     if mesh is None:
         raise ValueError("requires an explicit 2-D mesh (make_mesh_2d)")
     ar, ac = axes
@@ -90,9 +93,22 @@ def _sharded_batched_2d(kind, A_tiles, BT_tiles, b, x_true, tol, maxit,
             jnp.asarray(x0, dtype).reshape(n, -1), (n, R_total))
     else:
         x0 = jnp.zeros((n, R_total), dtype)
-    from hybrid_gmres_tpu.utils.checkpoint import resume_fingerprint
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                    resume_fingerprint)
 
     fp = resume_fingerprint(x0 if have_x0 else None, lam)
+    if resume_from is not None:
+        if defer_histories:
+            raise ValueError("defer_histories does not support resume_from")
+        if resume_from.IMG is None or (kind == "ab" and
+                                       resume_from.S is None):
+            raise ValueError("resume_from must come from the sharded "
+                             "batched solver (missing .IMG/.S)")
+        check_fingerprint(resume_from, x0 if have_x0 else None, lam)
+        if resume_from.active is None:
+            raise ValueError("sharded batched resume needs the "
+                             "checkpointed per-RHS active flags")
+        resume_from = _pad_batched(resume_from, maxit)
 
     trace_dim = n if kind == "ba" else m
     gcv_final = isinstance(lam, str) and lam == "gcv-final"
@@ -108,7 +124,11 @@ def _sharded_batched_2d(kind, A_tiles, BT_tiles, b, x_true, tol, maxit,
         solve_r = jax.vmap(lambda H, t, kdim: _ps(H, None, t, kdim),
                            in_axes=(2, 1, None), out_axes=1)
 
-    def solver(A_loc, B_loc, b_loc, xt_loc, x0_loc):
+    k0 = 0 if resume_from is None else resume_from.res_hist.shape[0]
+    if resume_from is not None and k0 >= maxit:
+        raise ValueError(f"resume needs maxit > {k0}")
+
+    def solver(A_loc, B_loc, b_loc, xt_loc, x0_loc, *carry_in):
         nloc = n // pc
         mloc = m // pr
 
@@ -132,13 +152,19 @@ def _sharded_batched_2d(kind, A_tiles, BT_tiles, b, x_true, tol, maxit,
         return _mesh_batched_core(
             kind, maxit, tol, dtype, nloc, mloc, A_mm, B_mm, psum_coeff,
             pnorm_cols_m, pnorm_sp, pnorm_cols_n, b_loc, xt_loc, x0_loc,
-            have_x0, solve_r, select_lam, defer_histories)
+            have_x0, solve_r, select_lam, defer_histories,
+            k0=k0, carry_in=carry_in)
 
     sp_tiles = P((ar, ac))
     sp_m = P(ar, None)
     sp_n = P(ac, None)
     sp_basis = P(ac, None, None) if kind == "ba" else P(ar, None, None)
     in_specs = (sp_tiles, sp_tiles, sp_m, sp_n, sp_n)
+    carry_specs = (sp_basis, P(), sp_n, P(), P(), P(ar, None, None), P())
+    if kind == "ab":
+        carry_specs = carry_specs[:6] + (P(ac, None, None), P())
+    if resume_from is not None:
+        in_specs = in_specs + carry_specs
     out_specs = (
         sp_n,                                # x (n, R)
         P(), P(), P(),                       # histories + niters
@@ -153,8 +179,20 @@ def _sharded_batched_2d(kind, A_tiles, BT_tiles, b, x_true, tol, maxit,
 
     parts = []
     for sl in _chunk_slices(R_total, chunk_rhs):
-        x10 = f(A_tiles, Bp, b[:, sl], x_true[:, sl], x0[:, sl])
-        (x, err_hist, res_hist, niters, Q, H, beta, IMG, S, active_f) = x10
+        args = (A_tiles, Bp, b[:, sl], x_true[:, sl], x0[:, sl])
+        if resume_from is not None:
+            rs = _slice_result(resume_from, sl)
+            carry = (rs.Q, rs.H, rs.x, rs.active, rs.niters, rs.IMG)
+            carry = (carry + (rs.S, rs.beta) if kind == "ab"
+                     else carry + (rs.beta,))
+            args = args + carry
+        x10 = f(*args)
+        (x, err_new, res_new, niters, Q, H, beta, IMG, S, active_f) = x10
+        if resume_from is not None:
+            res_hist = jnp.concatenate([rs.res_hist, res_new])
+            err_hist = jnp.concatenate([rs.err_hist, err_new])
+        else:
+            res_hist, err_hist = res_new, err_new
         parts.append(GMRESResult(
             x, err_hist, res_hist, niters, Q, H, beta, IMG=IMG,
             S=S if kind == "ab" else None, active=active_f))
@@ -180,6 +218,7 @@ def ba_gmres_sharded_batched_2d(
     B_tiles: TiledPanels | None = None,
     chunk_rhs: int | None = 8,
     defer_histories: bool = False,
+    resume_from: GMRESResult | None = None,
 ) -> GMRESResult:
     """2-D tiled multi-RHS (hybrid) BA-GMRES over R right-hand sides.
 
@@ -189,10 +228,15 @@ def ba_gmres_sharded_batched_2d(
     ``x0`` (n, R) per-RHS warm starts, ``chunk_rhs`` auto-chunking,
     ``defer_histories`` + ``lam="gcv-final"`` as in the 1-D sharded
     batched solver; ``B_tiles``: forward-layout back-projector
-    (``tile_backprojector_forward``)."""
+    (``tile_backprojector_forward``).  ``resume_from``: a prior result of
+    THIS solver — continues every RHS's recurrence exactly with the
+    carried per-RHS active flags, state kept tile-sharded (same
+    ``x0``/``lam``/``chunk_rhs``; fingerprint-guarded; in-scan mode
+    only)."""
     return _sharded_batched_2d("ba", A_tiles, BT_tiles, b, x_true, tol,
                                maxit, lam, gcv_grid, mesh, axes, interpret,
-                               x0, B_tiles, chunk_rhs, defer_histories)
+                               x0, B_tiles, chunk_rhs, defer_histories,
+                               resume_from)
 
 
 def ab_gmres_sharded_batched_2d(
@@ -211,10 +255,12 @@ def ab_gmres_sharded_batched_2d(
     B_tiles: TiledPanels | None = None,
     chunk_rhs: int | None = 8,
     defer_histories: bool = False,
+    resume_from: GMRESResult | None = None,
 ) -> GMRESResult:
     """2-D tiled multi-RHS (hybrid) AB-GMRES (row-sharded m-space bases,
     solutions composed from the col-sharded ``B Q`` images).  See
     :func:`ba_gmres_sharded_batched_2d`."""
     return _sharded_batched_2d("ab", A_tiles, BT_tiles, b, x_true, tol,
                                maxit, lam, gcv_grid, mesh, axes, interpret,
-                               x0, B_tiles, chunk_rhs, defer_histories)
+                               x0, B_tiles, chunk_rhs, defer_histories,
+                               resume_from)

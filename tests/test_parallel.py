@@ -2300,3 +2300,46 @@ def test_gkb_2d_resume_equals_uninterrupted():
         with pytest.raises(ValueError, match="fingerprint"):
             solver(tiles, bj, xtj, maxit=8, mesh=mesh, interpret=True,
                    x0=2.0 * x0, reorth=True, resume_from=part.state, **kw)
+
+
+@pytest.mark.parametrize("kind", ["ba", "ab"])
+def test_sharded_batched_2d_resume_equals_uninterrupted(kind):
+    """2-D tiled batched resume continues every RHS's recurrence with the
+    carried per-RHS active flags (state tile-sharded across the
+    checkpoint, warm start + chunking preserved); wrong-x0 and deferred
+    resumes raise — mode parity with the 1-D sharded batched tier."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ab_gmres_sharded_batched_2d, ba_gmres_sharded_batched_2d,
+        make_mesh_2d, tile_bucketed_panels)
+
+    Ad, Bd, b, x_true = _batched_pair(R=5, seed=23)
+    mesh2 = make_mesh_2d((4, 2))
+    A_t = tile_bucketed_panels(sp.csr_matrix(Ad), 4, 2)
+    BT_t = tile_bucketed_panels(sp.csr_matrix(Bd.T), 4, 2)
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray((x_true + 0.1 * rng.standard_normal(x_true.shape)
+                      ).astype(np.float32))
+    sh = ba_gmres_sharded_batched_2d if kind == "ba" else \
+        ab_gmres_sharded_batched_2d
+    kw = dict(tol=0.0, lam=1e-3, mesh=mesh2, interpret=True, x0=x0,
+              chunk_rhs=2)
+    full = sh(A_t, BT_t, jnp.asarray(b), jnp.asarray(x_true), maxit=8,
+              **kw)
+    part = sh(A_t, BT_t, jnp.asarray(b), jnp.asarray(x_true), maxit=4,
+              **kw)
+    resumed = sh(A_t, BT_t, jnp.asarray(b), jnp.asarray(x_true), maxit=8,
+                 resume_from=part, **kw)
+    np.testing.assert_allclose(np.asarray(resumed.res_hist),
+                               np.asarray(full.res_hist), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(resumed.err_hist),
+                               np.asarray(full.err_hist), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(resumed.x), np.asarray(full.x),
+                               atol=1e-6)
+    with pytest.raises(ValueError, match="fingerprint"):
+        sh(A_t, BT_t, jnp.asarray(b), maxit=8, tol=0.0, lam=1e-3,
+           mesh=mesh2, interpret=True, x0=x0 + 0.5, chunk_rhs=2,
+           resume_from=part)
+    with pytest.raises(ValueError, match="defer"):
+        sh(A_t, BT_t, jnp.asarray(b), maxit=8, lam=1e-3, mesh=mesh2,
+           interpret=True, x0=x0, defer_histories=True, resume_from=part)
