@@ -1,4 +1,5 @@
-from hybrid_gmres_tpu.parallel.mesh import make_mesh, make_mesh_2d
+from hybrid_gmres_tpu.parallel.mesh import (make_mesh, make_mesh_2d,
+                                            make_replica_meshes)
 from hybrid_gmres_tpu.parallel.sharded import (
     shard_problem,
     sharded_ba_matvec,
@@ -66,6 +67,7 @@ from hybrid_gmres_tpu.parallel.multihost import initialize_multihost
 __all__ = [
     "make_mesh",
     "make_mesh_2d",
+    "make_replica_meshes",
     "ba_gmres_sharded_2d",
     "shard_problem_2d",
     "TiledPanels",

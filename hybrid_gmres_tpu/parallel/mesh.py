@@ -31,3 +31,24 @@ def make_mesh_2d(shape: tuple[int, int], axis_names=("rows", "cols")) -> Mesh:
         raise ValueError(f"requested {need} devices, have {len(devs)}")
     arr = np.array(devs[:need]).reshape(shape)
     return Mesh(arr, axis_names)
+
+
+def make_replica_meshes(n_replicas: int,
+                        axis_name: str = "rows") -> list[Mesh]:
+    """Split the available devices into ``n_replicas`` disjoint 1-D
+    sub-meshes — a data-parallel serving fleet.
+
+    Each replica runs an INDEPENDENT sharded solve (any solver in this
+    package) on its own device subset; no collective crosses replicas, so
+    fleet throughput scales linearly in replicas while each solve keeps
+    the intra-replica panel sharding.  This is the replica-level
+    composition of batching with sharding (FEATURES.md): R frames per
+    replica via the sharded batched solvers x ``n_replicas`` replicas.
+    Build the panels once per replica shape (``p = devices/replicas``)."""
+    devs = jax.devices()
+    if n_replicas <= 0 or len(devs) % n_replicas:
+        raise ValueError(
+            f"{len(devs)} devices cannot split into {n_replicas} replicas")
+    per = len(devs) // n_replicas
+    return [Mesh(np.array(devs[i * per:(i + 1) * per]), (axis_name,))
+            for i in range(n_replicas)]

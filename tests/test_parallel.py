@@ -2343,3 +2343,41 @@ def test_sharded_batched_2d_resume_equals_uninterrupted(kind):
     with pytest.raises(ValueError, match="defer"):
         sh(A_t, BT_t, jnp.asarray(b), maxit=8, lam=1e-3, mesh=mesh2,
            interpret=True, x0=x0, defer_histories=True, resume_from=part)
+
+
+def test_replica_fleet_composition():
+    """Replica-level composition of serving with distribution
+    (FEATURES.md): the 8 devices split into a 2-replica fleet of 4-shard
+    sub-meshes via make_replica_meshes; each replica runs an INDEPENDENT
+    sharded batched solve on its own frame batch, per-RHS numbers
+    matching the single-chip batched solver — no collective crosses
+    replicas, so a data-parallel fleet scales linearly on top of the
+    in-mesh (replica x shard) composition."""
+    import scipy.sparse as sp
+    from hybrid_gmres_tpu.parallel import (
+        ba_gmres_sharded_batched, make_replica_meshes,
+        shard_bucketed_panels)
+    from hybrid_gmres_tpu.solvers.batched import ba_gmres_batched
+
+    Ad, Bd, b, x_true = _batched_pair(R=4, seed=27)
+    meshes = make_replica_meshes(2)
+    assert len(meshes) == 2 and all(m.devices.size == 4 for m in meshes)
+    assert not (set(meshes[0].devices.flat) & set(meshes[1].devices.flat))
+    A_panels = shard_bucketed_panels(sp.csr_matrix(Ad), 4)
+    BT_panels = shard_bucketed_panels(sp.csr_matrix(Bd.T), 4)
+    # frames 0-1 on replica 0, frames 2-3 on replica 1
+    for rep, sl in ((0, slice(0, 2)), (1, slice(2, 4))):
+        r_sh = ba_gmres_sharded_batched(
+            A_panels, BT_panels, jnp.asarray(b[:, sl]),
+            jnp.asarray(x_true[:, sl]), tol=0.0, maxit=6, lam=1e-3,
+            mesh=meshes[rep], interpret=True)
+        r_ref = ba_gmres_batched(
+            jnp.asarray(Ad), jnp.asarray(Bd), jnp.asarray(b[:, sl]),
+            jnp.asarray(x_true[:, sl]), tol=0.0, maxit=6, lam=1e-3,
+            chunk_rhs=None)
+        np.testing.assert_allclose(np.asarray(r_sh.res_hist),
+                                   np.asarray(r_ref.res_hist), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(r_sh.err_hist),
+                                   np.asarray(r_ref.err_hist), atol=2e-5)
+    with pytest.raises(ValueError, match="replicas"):
+        make_replica_meshes(3)
