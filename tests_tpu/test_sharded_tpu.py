@@ -425,3 +425,29 @@ def test_sharded_batched_2d_1x1_mosaic(onedev_problem):
     np.testing.assert_allclose(np.asarray(r.res_hist),
                                np.asarray(rd.res_hist), rtol=2e-3,
                                atol=1e-5)
+
+
+def test_gkb_2d_modes_1x1_mosaic(onedev_problem):
+    """The round-5 2-D GKB modes (reorth + x0 warm start + exact resume)
+    through REAL Mosaic tile kernels on a 1x1 grid == the single-chip
+    reorthogonalized warm-started LSQR."""
+    from hybrid_gmres_tpu.parallel import (lsqr_sharded_2d, make_mesh_2d,
+                                           tile_bucketed_panels)
+    from hybrid_gmres_tpu.solvers.lsqr import lsqr
+
+    A, B, x_true, b, A_p, BT_p = onedev_problem
+    mesh2 = make_mesh_2d((1, 1))
+    A_t = tile_bucketed_panels(A, 1, 1)
+    x0 = jnp.asarray(0.5 * x_true)
+    xt = jnp.asarray(x_true)
+    kw = dict(mesh=mesh2, interpret=False, reorth=True, x0=x0, tol=0.0)
+    part = lsqr_sharded_2d(A_t, b, xt, maxit=4, **kw)
+    r = lsqr_sharded_2d(A_t, b, xt, maxit=8, resume_from=part.state, **kw)
+    rd = lsqr(jnp.asarray(A.toarray()), b, xt, tol=0.0, maxit=8,
+              reorth=True, x0=x0)
+    np.testing.assert_allclose(np.asarray(r.res_hist),
+                               np.asarray(rd.res_hist), rtol=2e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r.err_hist),
+                               np.asarray(rd.err_hist), rtol=2e-3,
+                               atol=1e-5)
