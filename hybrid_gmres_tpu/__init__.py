@@ -39,6 +39,11 @@ from hybrid_gmres_tpu.solvers.batched import (
 )
 from hybrid_gmres_tpu.solvers.lsqr import lsqr, hybrid_lsqr
 from hybrid_gmres_tpu.solvers.lsmr import lsmr, hybrid_lsmr
+from hybrid_gmres_tpu.solvers.gkb_batched import (
+    hybrid_lsqr_batched,
+    lsmr_batched,
+    lsqr_batched,
+)
 
 __version__ = "0.1.0"
 
@@ -64,4 +69,7 @@ __all__ = [
     "hybrid_lsqr",
     "lsmr",
     "hybrid_lsmr",
+    "lsqr_batched",
+    "hybrid_lsqr_batched",
+    "lsmr_batched",
 ]

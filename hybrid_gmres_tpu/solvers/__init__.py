@@ -12,6 +12,11 @@ from hybrid_gmres_tpu.solvers.batched import (
 )
 from hybrid_gmres_tpu.solvers.lsqr import lsqr, hybrid_lsqr
 from hybrid_gmres_tpu.solvers.lsmr import lsmr, hybrid_lsmr
+from hybrid_gmres_tpu.solvers.gkb_batched import (
+    hybrid_lsqr_batched,
+    lsmr_batched,
+    lsqr_batched,
+)
 
 __all__ = [
     "GMRESResult",
@@ -28,4 +33,7 @@ __all__ = [
     "hybrid_lsqr",
     "lsmr",
     "hybrid_lsmr",
+    "lsqr_batched",
+    "hybrid_lsqr_batched",
+    "lsmr_batched",
 ]

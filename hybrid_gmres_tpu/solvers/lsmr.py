@@ -54,8 +54,9 @@ def lsmr(
     ``x0``: optional warm start — the GKB runs on ``b - A x0`` with the
     iterate carried in x-space (``x = x0 + d``); the true residual/err/
     ``ar_hist`` records need no remapping.  Pass the same ``x0`` when
-    resuming.  (Hybrid LSMR takes no ``x0`` — Tikhonov on the correction
-    would regularize ``||d||``, not ``||x||``.)"""
+    resuming.  (``hybrid_lsmr`` warm-starts too, with two documented
+    regularizer semantics via ``x0_reg``.)  Multi-RHS serving twin:
+    ``lsmr_batched``."""
     from hybrid_gmres_tpu.solvers.common import GKBState
 
     A = as_operator(A)

@@ -153,9 +153,9 @@ def lsqr(
     ``x0``: optional warm start — the GKB runs on the correction
     ``min ||(b - A x0) - A d||`` and returns ``x = x0 + d`` (residuals
     still reported relative to ``||b||``); pass the SAME ``x0`` when
-    resuming.  (The HYBRID solvers take no ``x0``: Tikhonov on the
-    correction would regularize ``||d||``, not ``||x0 + d||`` — a
-    different estimator, not a restart.)"""
+    resuming.  (``hybrid_lsqr`` warm-starts EXACTLY via the augmented
+    rhs; ``hybrid_lsmr`` offers two regularizer semantics via
+    ``x0_reg``.)  Multi-RHS serving twin: ``lsqr_batched``."""
     from hybrid_gmres_tpu.solvers.common import GKBState, rel_error_fn
 
     A = as_operator(A)

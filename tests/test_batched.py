@@ -323,3 +323,153 @@ def test_gcv_final_matches_per_iteration_gcv_minima():
 
     with pytest.raises(ValueError, match="gcv-final"):
         ba_gmres_batched(A, A.T, b, xt, maxit=8, lam="gcv-final")
+
+
+# ---------------------------------------------------------------------------
+# Batched GKB family (solvers/gkb_batched.py)
+# ---------------------------------------------------------------------------
+
+def _gkb_pair(m=48, n=24, R=4, seed=13):
+    """Moderately conditioned random pair: strict per-column parity is
+    meaningful here (on shaw, cond ~1e12 amplifies last-digit
+    matmat-vs-matvec differences into O(1) null-space drift of the
+    NON-regularized x — physical semiconvergence, see the conventions
+    note in CLAUDE.md)."""
+    rng = np.random.default_rng(seed)
+    Ad = jnp.asarray(rng.standard_normal((m, n)) / np.sqrt(n))
+    X_true = jnp.asarray(rng.standard_normal((n, R)))
+    Bb = Ad @ X_true + 0.01 * jnp.asarray(rng.standard_normal((m, R)))
+    return Ad, Bb, X_true
+
+
+def test_gkb_batched_matches_single_rhs():
+    """lsqr/hybrid_lsqr/lsmr_batched == the single-RHS solvers per column
+    (same recurrences vectorized to (R,); per-RHS final true-residual
+    patch on LSQR; exact ar_hist on LSMR), incl. reorth."""
+    from hybrid_gmres_tpu import (hybrid_lsqr, hybrid_lsqr_batched, lsmr,
+                                  lsmr_batched, lsqr, lsqr_batched)
+
+    Ad, Bb, X_true = _gkb_pair()
+    for reorth in (False, True):
+        cases = [(lsqr_batched, lsqr, {}),
+                 (hybrid_lsqr_batched, hybrid_lsqr, {"lam": 1e-3}),
+                 (lsmr_batched, lsmr, {})]
+        for batched, single, kw in cases:
+            r = batched(Ad, Bb, X_true, tol=0.0, maxit=10, reorth=reorth,
+                        **kw)
+            assert r.res_hist.shape == (10, 4)
+            for j in range(Bb.shape[1]):
+                rj = single(Ad, Bb[:, j], X_true[:, j], tol=0.0, maxit=10,
+                            reorth=reorth, **kw)
+                np.testing.assert_allclose(np.asarray(r.res_hist[:, j]),
+                                           np.asarray(rj.res_hist),
+                                           rtol=1e-8, atol=1e-12)
+                np.testing.assert_allclose(np.asarray(r.err_hist[:, j]),
+                                           np.asarray(rj.err_hist),
+                                           rtol=1e-8, atol=1e-12)
+                np.testing.assert_allclose(np.asarray(r.x[:, j]),
+                                           np.asarray(rj.x), rtol=1e-7,
+                                           atol=1e-10)
+                if rj.ar_hist is not None:
+                    np.testing.assert_allclose(np.asarray(r.ar_hist[:, j]),
+                                               np.asarray(rj.ar_hist),
+                                               rtol=1e-7, atol=1e-12)
+                assert int(r.niters[j]) == int(rj.niters)
+
+
+def test_gkb_batched_hybrid_on_illposed(prob):
+    """On the ill-posed shaw operator the REGULARIZED batched solve stays
+    at ~1e-4 per-column parity (lam pins the null-space components enough
+    that the matmat-vs-matvec last-digit differences no longer blow up to
+    the O(1) drift of the non-hybrid x there — but shaw's conditioning
+    still magnifies them ~1e4x over the well-conditioned case)."""
+    from hybrid_gmres_tpu import hybrid_lsqr, hybrid_lsqr_batched
+
+    A, B, b_batch, x_true = prob
+    r = hybrid_lsqr_batched(A, b_batch, x_true, tol=0.0, maxit=10,
+                            lam=1e-3)
+    for j in range(b_batch.shape[1]):
+        rj = hybrid_lsqr(A, b_batch[:, j], x_true, tol=0.0, maxit=10,
+                         lam=1e-3)
+        np.testing.assert_allclose(np.asarray(r.res_hist[:, j]),
+                                   np.asarray(rj.res_hist), rtol=1e-4)
+        # x itself keeps percent-level sensitivity: sigma ~ sqrt(lam)
+        # components are only half-pinned on this spectrum
+        xj = np.asarray(rj.x)
+        assert np.linalg.norm(np.asarray(r.x[:, j]) - xj) <= \
+            2e-2 * np.linalg.norm(xj)
+
+
+def test_gkb_batched_warm_start_and_resume():
+    """Batched GKB x0 warm starts match the single-RHS warm starts per
+    column; resume(run(k), K) == run(K) exactly; wrong-x0 and mismatched
+    reorth resumes raise."""
+    from hybrid_gmres_tpu import (hybrid_lsqr, hybrid_lsqr_batched, lsmr,
+                                  lsmr_batched, lsqr, lsqr_batched)
+
+    Ad, Bb, X_true = _gkb_pair(seed=17)
+    rng = np.random.default_rng(5)
+    X0 = X_true + 0.2 * jnp.asarray(rng.standard_normal(X_true.shape))
+    cases = [(lsqr_batched, lsqr, {}),
+             (hybrid_lsqr_batched, hybrid_lsqr, {"lam": 1e-3}),
+             (lsmr_batched, lsmr, {})]
+    for batched, single, kw in cases:
+        r = batched(Ad, Bb, X_true, tol=0.0, maxit=8, x0=X0, **kw)
+        for j in range(Bb.shape[1]):
+            rj = single(Ad, Bb[:, j], X_true[:, j], tol=0.0, maxit=8,
+                        x0=X0[:, j], **kw)
+            np.testing.assert_allclose(np.asarray(r.res_hist[:, j]),
+                                       np.asarray(rj.res_hist),
+                                       rtol=1e-8, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(r.x[:, j]),
+                                       np.asarray(rj.x), rtol=1e-7,
+                                       atol=1e-10)
+        for reorth in (False, True):
+            full = batched(Ad, Bb, X_true, tol=0.0, maxit=8, x0=X0,
+                           reorth=reorth, **kw)
+            part = batched(Ad, Bb, X_true, tol=0.0, maxit=4, x0=X0,
+                           reorth=reorth, **kw)
+            resumed = batched(Ad, Bb, X_true, tol=0.0, maxit=8, x0=X0,
+                              reorth=reorth, resume_from=part.state, **kw)
+            np.testing.assert_array_equal(np.asarray(resumed.res_hist),
+                                          np.asarray(full.res_hist))
+            np.testing.assert_array_equal(np.asarray(resumed.x),
+                                          np.asarray(full.x))
+        with pytest.raises(ValueError, match="reorth"):
+            batched(Ad, Bb, X_true, maxit=8, x0=X0, reorth=False,
+                    resume_from=part.state, **kw)
+        with pytest.raises(ValueError, match="fingerprint"):
+            batched(Ad, Bb, X_true, maxit=8, x0=2.0 * X0, reorth=True,
+                    resume_from=part.state, **kw)
+
+
+def test_gkb_batched_rejects_single_vector(prob):
+    from hybrid_gmres_tpu import lsqr_batched
+
+    A, B, b_batch, x_true = prob
+    with pytest.raises(ValueError, match="shape"):
+        lsqr_batched(A, b_batch[:, 0], x_true)
+
+
+def test_gkb_batched_with_pallas_operator():
+    """Batched GKB on the sparse kernel operator: the multi-RHS SpMM path
+    with the exact shared-quantization adjoint pair (int8), per-column
+    parity with the single-RHS solver on the same operator."""
+    from hybrid_gmres_tpu import lsqr, lsqr_batched
+    from hybrid_gmres_tpu.ops.spmv_pallas import PallasBSROperator
+
+    rng = np.random.default_rng(7)
+    Ad = (rng.standard_normal((64, 32)) * (rng.random((64, 32)) < 0.3)
+          ).astype(np.float32)
+    X_true = rng.standard_normal((32, 3)).astype(np.float32)
+    Bb = jnp.asarray((Ad @ X_true).astype(np.float32))
+    for dtype in (jnp.float32, jnp.int8):
+        A_op = PallasBSROperator.from_csr(sp.csr_matrix(Ad), dtype=dtype,
+                                          interpret=True)
+        r = lsqr_batched(A_op, Bb, jnp.asarray(X_true), tol=0.0, maxit=8)
+        for j in range(3):
+            rj = lsqr(A_op, Bb[:, j], jnp.asarray(X_true[:, j]), tol=0.0,
+                      maxit=8)
+            np.testing.assert_allclose(np.asarray(r.res_hist[:, j]),
+                                       np.asarray(rj.res_hist), rtol=2e-5,
+                                       atol=1e-7)
