@@ -230,7 +230,7 @@ def lsqr_batched(
     b_iter = b - A.matmat(x0a) if have_x0 else b
     base_err = _error_fn_cols(x_true)
     error_fn = (lambda D: base_err(x0a + D)) if have_x0 else base_err
-    k0 = _resume_k0(resume_from, maxit, x0 if have_x0 else None, None)
+    k0 = _resume_k0(resume_from, maxit, x0a if have_x0 else None, None)
     carry_init = None
     if resume_from is not None:
         carry_init = resume_from.carry
@@ -252,7 +252,7 @@ def lsqr_batched(
         res_hist = jnp.concatenate([resume_from.res_hist, res_new])
         err_hist = jnp.concatenate([resume_from.err_hist, err_new])
     state = GKBState(carry=carry, res_hist=res_hist, err_hist=err_hist,
-                     fp=resume_fingerprint(x0 if have_x0 else None, None))
+                     fp=resume_fingerprint(x0a if have_x0 else None, None))
     true_res = _cols_norm(b - A.matmat(x)) / b_norm
     res_hist = _patch_true_res(res_hist, niters, true_res)
     if not have_xt:
@@ -302,7 +302,7 @@ def hybrid_lsqr_batched(
 
     base_err = _error_fn_cols(x_true)
     error_fn = lambda D: base_err(x0a + D)
-    k0 = _resume_k0(resume_from, maxit, x0 if have_x0 else None, lam)
+    k0 = _resume_k0(resume_from, maxit, x0a if have_x0 else None, lam)
     carry_init = None
     if resume_from is not None:
         carry_init = resume_from.carry
@@ -323,7 +323,7 @@ def hybrid_lsqr_batched(
         res_hist = jnp.concatenate([resume_from.res_hist, res_new])
         err_hist = jnp.concatenate([resume_from.err_hist, err_new])
     state = GKBState(carry=carry, res_hist=res_hist, err_hist=err_hist,
-                     fp=resume_fingerprint(x0 if have_x0 else None, lam))
+                     fp=resume_fingerprint(x0a if have_x0 else None, lam))
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
@@ -360,7 +360,7 @@ def lsmr_batched(
             fro_norm = (jnp.linalg.norm(mat) if mat is not None
                         else jnp.asarray(jnp.nan, dtype))
     error_fn = _error_fn_cols(x_true)
-    k0 = _resume_k0(resume_from, maxit, x0 if have_x0 else None, None)
+    k0 = _resume_k0(resume_from, maxit, x0a if have_x0 else None, None)
 
     def step(carry, k):
         if reorth:
@@ -470,7 +470,7 @@ def lsmr_batched(
         ar_hist = jnp.concatenate([resume_from.ar_hist, ar_new])
     state = GKBState(carry=carry_out, res_hist=res_hist, err_hist=err_hist,
                      ar_hist=ar_hist,
-                     fp=resume_fingerprint(x0 if have_x0 else None, None))
+                     fp=resume_fingerprint(x0a if have_x0 else None, None))
     if not have_xt:
         err_hist = jnp.full_like(err_hist, jnp.nan)
     return GKBResult(x=x, err_hist=err_hist, res_hist=res_hist,
