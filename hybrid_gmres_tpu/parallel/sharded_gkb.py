@@ -153,16 +153,10 @@ def _make_purify(axis):
     return purify
 
 
-def _grow_bases(carry, maxit, idx):
-    """Pad the stored reorth bases of a resumed carry (global arrays,
-    applied OUTSIDE shard_map) out to the new ``maxit + 1`` budget.
-    ``idx``: positions of the basis leaves in the carry tuple."""
-    carry = list(carry)
-    for i in idx:
-        extra = maxit + 1 - carry[i].shape[1]
-        if extra > 0:
-            carry[i] = jnp.pad(carry[i], ((0, 0), (0, extra)))
-    return tuple(carry)
+# Pad the stored reorth bases of a resumed carry (global arrays, applied
+# OUTSIDE shard_map) out to the new ``maxit + 1`` budget — the shared
+# rank-agnostic helper (also serves the 2-D tier and the batched GKB).
+from hybrid_gmres_tpu.solvers.common import grow_stored_bases as _grow_bases
 
 
 def _specs(is_panels, axis):

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from hybrid_gmres_tpu.parallel.panels2d import TiledPanels, tiled_local_ops
-from hybrid_gmres_tpu.parallel.sharded_gkb import _grow_bases
+from hybrid_gmres_tpu.parallel.sharded_gkb import (_grow_bases,
+                                                   _make_purify)
 from hybrid_gmres_tpu.solvers.common import GKBResult
 
 __all__ = [
@@ -87,16 +88,9 @@ def _collectives2d(axes, dtype):
             _normalize(pdot_m), _normalize(pdot_n))
 
 
-def _make_purify2d(axis):
-    """Distributed CGS2 purification against a stored basis sharded over
-    ``axis`` (u-space bases psum over the row axis, v-space over the col
-    axis — the 2-D twin of ``sharded_gkb._make_purify``)."""
-    def purify(Basis_loc, vec_loc):
-        vec_loc = vec_loc - Basis_loc @ jax.lax.psum(
-            Basis_loc.T @ vec_loc, axis)
-        return vec_loc - Basis_loc @ jax.lax.psum(
-            Basis_loc.T @ vec_loc, axis)
-    return purify
+# 2-D purify: ``sharded_gkb._make_purify`` parameterized by the basis's
+# own mesh axis (u-space bases psum over rows, v-space over cols)
+_make_purify2d = _make_purify
 
 
 def _specs2d(axes):

@@ -420,3 +420,18 @@ def rel_error_fn(x_true):
         return jnp.linalg.norm(x - x_true) / xt_norm
 
     return f
+
+
+def grow_stored_bases(carry, maxit, idx):
+    """Pad the stored reorth bases of a resumed carry out to the new
+    ``maxit + 1`` budget along axis 1 (rank-agnostic: (space, k) sharded
+    bases and (space, k, R) batched bases alike).  ``idx``: positions of
+    the basis leaves in the carry tuple."""
+    carry = list(carry)
+    for i in idx:
+        extra = maxit + 1 - carry[i].shape[1]
+        if extra > 0:
+            pad = (((0, 0), (0, extra)) +
+                   ((0, 0),) * (carry[i].ndim - 2))
+            carry[i] = jnp.pad(carry[i], pad)
+    return tuple(carry)

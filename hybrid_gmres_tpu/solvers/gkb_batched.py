@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from hybrid_gmres_tpu.ops.linear_operator import as_operator
-from hybrid_gmres_tpu.solvers.common import GKBResult, GKBState
+from hybrid_gmres_tpu.solvers.common import (GKBResult, GKBState,
+                                              grow_stored_bases)
 
 __all__ = [
     "lsqr_batched",
@@ -107,13 +108,15 @@ def _resume_k0(resume_from, maxit, x0, lam):
     return k0
 
 
-def _grow_reorth(carry, maxit, idx):
-    carry = list(carry)
-    for i in idx:
-        extra = maxit + 1 - carry[i].shape[1]
-        if extra > 0:
-            carry[i] = jnp.pad(carry[i], ((0, 0), (0, extra), (0, 0)))
-    return tuple(carry)
+def _resume_carry(resume_from, reorth, n_plain, maxit, idx):
+    """Validate a resumed carry's reorth layout and grow its stored bases
+    to the new budget (shared by all three batched GKB solvers)."""
+    rc = resume_from.carry
+    expect = n_plain + 2 if reorth else n_plain
+    if len(rc) != expect:
+        raise ValueError("resume_from state does not match reorth=; "
+                         "pass the same reorth as the original run")
+    return grow_stored_bases(rc, maxit, idx) if reorth else rc
 
 
 def _lsqr_core_batched(mm, rmm, b_iter, residual_fn, error_fn, b_norm,
@@ -233,13 +236,7 @@ def lsqr_batched(
     k0 = _resume_k0(resume_from, maxit, x0a if have_x0 else None, None)
     carry_init = None
     if resume_from is not None:
-        carry_init = resume_from.carry
-        expect = 11 if reorth else 9
-        if len(carry_init) != expect:
-            raise ValueError("resume_from state does not match reorth=; "
-                             "pass the same reorth as the original run")
-        if reorth:
-            carry_init = _grow_reorth(carry_init, maxit, (9, 10))
+        carry_init = _resume_carry(resume_from, reorth, 9, maxit, (9, 10))
 
     x, res_new, err_new, niters, carry = _lsqr_core_batched(
         A.matmat, A.rmatmat, b_iter, None, error_fn, b_norm, maxit, tol,
@@ -305,13 +302,7 @@ def hybrid_lsqr_batched(
     k0 = _resume_k0(resume_from, maxit, x0a if have_x0 else None, lam)
     carry_init = None
     if resume_from is not None:
-        carry_init = resume_from.carry
-        expect = 11 if reorth else 9
-        if len(carry_init) != expect:
-            raise ValueError("resume_from state does not match reorth=; "
-                             "pass the same reorth as the original run")
-        if reorth:
-            carry_init = _grow_reorth(carry_init, maxit, (9, 10))
+        carry_init = _resume_carry(resume_from, reorth, 9, maxit, (9, 10))
 
     d, res_new, err_new, niters, carry = _lsqr_core_batched(
         mm, rmm, b_aug, residual_fn, error_fn, b_norm, maxit, tol,
@@ -452,13 +443,7 @@ def lsmr_batched(
             V0 = jnp.zeros((n, maxit + 1, R), dtype).at[:, 0, :].set(v)
             carry0 = carry0 + (U0, V0)
     else:
-        carry0 = resume_from.carry
-        expect = 16 if reorth else 14
-        if len(carry0) != expect:
-            raise ValueError("resume_from state does not match reorth=; "
-                             "pass the same reorth as the original run")
-        if reorth:
-            carry0 = _grow_reorth(carry0, maxit, (14, 15))
+        carry0 = _resume_carry(resume_from, reorth, 14, maxit, (14, 15))
     carry_out, (res_new, err_new, ar_new) = jax.lax.scan(
         step, carry0, jnp.arange(k0, maxit, dtype=jnp.int32))
     x, niters = carry_out[0], carry_out[13]

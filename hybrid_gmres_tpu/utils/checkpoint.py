@@ -80,22 +80,24 @@ def load_state(path: str) -> GMRESResult:
 
 
 def resume_fingerprint(x0, lam, tag: str = ""):
-    """Compact (2,) fingerprint of a solve's ``(x0, lam)`` pair.
+    """Compact (3,) fingerprint of a solve's ``(x0, lam, tag)`` triple.
 
     ``niters``-invariant by construction: entry 0 is a fixed-weight
     checksum of ``x0`` (cosine weights — permutation-sensitive, unlike a
-    plain sum), entry 1 encodes ``lam`` (scalar value; None → -1,
-    "gcv" → -2, "gcv-final" → -3).  Stored in checkpointed results so a
-    resume with a DIFFERENT ``x0``/``lam`` — which would silently produce
-    wrong numbers (the Krylov factorization is x0/lam-specific) — raises
-    instead (:func:`check_fingerprint`).  Traceable (a traced ``x0`` or
-    ``lam`` yields a traced fingerprint; the check then degrades to a
-    no-op, documented there).
+    plain sum), entry 1 encodes ``lam`` EXACTLY (scalar value; None → -1,
+    "gcv" → -2, "gcv-final" → -3), entry 2 encodes ``tag``.  Stored in
+    checkpointed results so a resume with a DIFFERENT ``x0``/``lam`` —
+    which would silently produce wrong numbers (the Krylov factorization
+    is x0/lam-specific) — raises instead (:func:`check_fingerprint`).
+    Traceable (a traced ``x0`` or ``lam`` yields a traced fingerprint;
+    the check then degrades to a no-op, documented there).
 
-    ``tag``: extra mode string folded into the lam slot for solvers whose
-    math depends on a non-numeric flag (e.g. ``hybrid_lsmr``'s
+    ``tag``: extra mode string in its OWN slot for solvers whose math
+    depends on a non-numeric flag (e.g. ``hybrid_lsmr``'s
     ``x0_reg="full"`` — a resume under the other semantics must raise,
-    not silently mix regularizers)."""
+    not silently mix regularizers).  Keeping it separate preserves full
+    float32 resolution on the lam slot (an additive tag offset would
+    swamp lam's mantissa and let any lam pass the check)."""
     codes = {"gcv": -2.0, "gcv-final": -3.0}
     if isinstance(lam, str):
         lam_val = jnp.float32(codes.get(lam, -9.0))
@@ -103,19 +105,14 @@ def resume_fingerprint(x0, lam, tag: str = ""):
         lam_val = jnp.float32(-1.0)
     else:
         lam_val = jnp.asarray(lam, jnp.float32).reshape(())
-    if tag:
-        # deterministic small irrational-ish offset per tag; lam values in
-        # practice are >= -9, so tag offsets (multiples of ~1e4) cannot
-        # collide with a real lam
-        lam_val = lam_val + jnp.float32(
-            sum((i + 1) * ord(c) for i, c in enumerate(tag)) * 128.0)
+    tag_val = jnp.float32(sum((i + 1) * ord(c) for i, c in enumerate(tag)))
     if x0 is None:
         xs = jnp.float32(0.0)
     else:
         x = jnp.ravel(jnp.asarray(x0)).astype(jnp.float32)
         w = jnp.cos(jnp.arange(x.shape[0], dtype=jnp.float32) * 0.7368) + 0.5
         xs = jnp.dot(x, w)
-    return jnp.stack([xs, lam_val])
+    return jnp.stack([xs, lam_val, tag_val])
 
 
 def check_fingerprint(resume_from, x0, lam, tag: str = "") -> None:
@@ -134,10 +131,20 @@ def check_fingerprint(resume_from, x0, lam, tag: str = "") -> None:
             isinstance(expected, jax.core.Tracer):
         return
     s, e = np.asarray(stored), np.asarray(expected)
-    if not np.allclose(s, e, rtol=1e-5, atol=1e-6, equal_nan=True):
+    if s.size == 2:
+        # legacy (2,) fingerprint (lam slot carried an additive tag
+        # offset): untagged checkpoints check cleanly with tag slot 0;
+        # tagged ones fail the exact lam compare below — conservative
+        s = np.append(s, 0.0)
+    # x0 slot is a lossy float checksum — tolerance; lam and tag slots
+    # are exact encodings of the argument, so any difference means a
+    # genuinely different solve (a 1e-8 vs 9e-7 lam is a 90x different
+    # regularizer, not noise)
+    x0_ok = np.allclose(s[0], e[0], rtol=1e-5, atol=1e-6, equal_nan=True)
+    if not (x0_ok and s[1] == e[1] and s[2] == e[2]):
         raise ValueError(
             f"resume fingerprint mismatch: checkpoint was created with "
-            f"(x0, lam) fingerprint {s.tolist()}, resume passed "
+            f"(x0, lam, tag) fingerprint {s.tolist()}, resume passed "
             f"{e.tolist()} — resuming with a different x0/lam silently "
             "corrupts the continuation; pass the ORIGINAL x0/lam (to "
             "change them, start a fresh solve warm-started from .x)")

@@ -240,3 +240,34 @@ def test_resume_fingerprint_rejects_changed_x0_lam():
         with pytest.raises(ValueError, match="fingerprint"):
             ba_gmres(A, B, b, x_true, maxit=8, lam=1e-3, x0=x0_wrong,
                      resume_from=loaded)
+
+
+def test_fingerprint_lam_slot_is_exact():
+    """The lam and tag fingerprint slots compare EXACTLY: a 1e-8 vs 9e-7
+    lam (90x different regularizer, below the old atol) and a tagged-mode
+    lam mismatch (the old additive tag offset swamped lam's float32
+    mantissa) must both raise; broadcast-equal x0 and legacy (2,)
+    untagged fingerprints still pass."""
+    import jax.numpy as jnp
+    from hybrid_gmres_tpu.utils.checkpoint import (check_fingerprint,
+                                                   resume_fingerprint)
+
+    class R:
+        def __init__(self, fp):
+            self.fp = fp
+
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal(16))
+    st = R(resume_fingerprint(x0, 1e-3, tag="full"))
+    check_fingerprint(st, x0, 1e-3, tag="full")
+    with pytest.raises(ValueError, match="fingerprint"):
+        check_fingerprint(st, x0, 1e-1, tag="full")
+    with pytest.raises(ValueError, match="fingerprint"):
+        check_fingerprint(st, x0, 1e-3, tag="")
+    st2 = R(resume_fingerprint(None, 1e-8))
+    check_fingerprint(st2, None, 1e-8)
+    with pytest.raises(ValueError, match="fingerprint"):
+        check_fingerprint(st2, None, 9e-7)
+    # legacy (2,) fingerprint (pre-tag-slot checkpoints): untagged accepted
+    legacy = R(jnp.stack([resume_fingerprint(x0, 1e-3)[0],
+                          jnp.float32(1e-3)]))
+    check_fingerprint(legacy, x0, 1e-3)
