@@ -451,3 +451,29 @@ def test_gkb_2d_modes_1x1_mosaic(onedev_problem):
     np.testing.assert_allclose(np.asarray(r.err_hist),
                                np.asarray(rd.err_hist), rtol=2e-3,
                                atol=1e-5)
+
+
+def test_gkb_batched_mosaic_matches_single_rhs(onedev_problem):
+    """lsqr_batched under real Mosaic (multi-RHS SpMM on the int8
+    shared-quantization exact-adjoint pair — the serving regime of
+    scripts/gkb_batched_bench.py) == the single-RHS lsqr per column."""
+    from hybrid_gmres_tpu.ops.spmv_pallas import PallasBSROperator
+    from hybrid_gmres_tpu.solvers.gkb_batched import lsqr_batched
+    from hybrid_gmres_tpu.solvers.lsqr import lsqr
+
+    A, B, x_true, b, _, _ = onedev_problem
+    rng = np.random.default_rng(9)
+    R = 3
+    X_true = rng.standard_normal((A.shape[1], R)).astype(np.float32)
+    Bb = jnp.asarray((A @ X_true).astype(np.float32))
+    A_op = PallasBSROperator.from_csr(A, dtype=jnp.int8, with_adjoint=True)
+    r = lsqr_batched(A_op, Bb, jnp.asarray(X_true), tol=0.0, maxit=8)
+    for j in range(R):
+        rj = lsqr(A_op, Bb[:, j], jnp.asarray(X_true[:, j]), tol=0.0,
+                  maxit=8)
+        np.testing.assert_allclose(np.asarray(r.res_hist[:, j]),
+                                   np.asarray(rj.res_hist), rtol=2e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r.err_hist[:, j]),
+                                   np.asarray(rj.err_hist), rtol=2e-4,
+                                   atol=1e-6)
