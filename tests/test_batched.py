@@ -473,3 +473,34 @@ def test_gkb_batched_with_pallas_operator():
             np.testing.assert_allclose(np.asarray(r.res_hist[:, j]),
                                        np.asarray(rj.res_hist), rtol=2e-5,
                                        atol=1e-7)
+
+
+def test_hybrid_lsqr_batched_per_rhs_lam():
+    """An (R,) lam vector on hybrid_lsqr_batched gives each RHS its own
+    Tikhonov strength — per column == the single-RHS solver at that lam;
+    resuming with a different lam VECTOR is fingerprint-rejected."""
+    from hybrid_gmres_tpu import hybrid_lsqr, hybrid_lsqr_batched
+
+    Ad, Bb, X_true = _gkb_pair(seed=19)
+    lams = jnp.asarray([1e-4, 1e-3, 1e-2, 1e-1])
+    r = hybrid_lsqr_batched(Ad, Bb, X_true, tol=0.0, maxit=8, lam=lams)
+    for j in range(4):
+        rj = hybrid_lsqr(Ad, Bb[:, j], X_true[:, j], tol=0.0, maxit=8,
+                         lam=float(lams[j]))
+        np.testing.assert_allclose(np.asarray(r.res_hist[:, j]),
+                                   np.asarray(rj.res_hist), rtol=1e-8,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(r.x[:, j]),
+                                   np.asarray(rj.x), rtol=1e-7, atol=1e-10)
+    part = hybrid_lsqr_batched(Ad, Bb, X_true, tol=0.0, maxit=4, lam=lams)
+    full = hybrid_lsqr_batched(Ad, Bb, X_true, tol=0.0, maxit=8, lam=lams,
+                               resume_from=part.state)
+    np.testing.assert_array_equal(np.asarray(full.res_hist[:4]),
+                                  np.asarray(part.res_hist))
+    with pytest.raises(ValueError, match="fingerprint"):
+        hybrid_lsqr_batched(Ad, Bb, X_true, maxit=8,
+                            lam=jnp.asarray([1e-3, 1e-3, 1e-2, 1e-1]),
+                            resume_from=part.state)
+    with pytest.raises(ValueError, match="scalar or an"):
+        hybrid_lsqr_batched(Ad, Bb, X_true, maxit=8,
+                            lam=jnp.asarray([1e-3, 1e-2]))
